@@ -1,0 +1,13 @@
+"""Test configuration: force an 8-device virtual CPU mesh before jax imports.
+
+Multi-chip sharding tests run on virtual CPU devices (SURVEY.md §4e); the real
+TPU chip is reserved for bench.py.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
