@@ -1,0 +1,252 @@
+"""Grid-search 3D template fitting (the reference's Optimizer, TPU-batched).
+
+Behavioral contract (pseudo_label_generator/3d/scripts/optimizer.py):
+
+* standing car (optimize_coarse:53-93 + optimize_fine:95-112): coarse grid
+  over dx in [-2, 2] x dz in [-1, 3] x theta in [0, 2pi) (40 steps each)
+  around the scan median, minimizing the binary2way TFL; then a fine pass of
+  360 theta steps at the chosen (x, z).
+* moving car (optimize_moving:293-345): theta fixed from the trajectory
+  median arctan2 (estimate_angle_from_movement_tracked:347-424) when
+  available, translation grid with dz shifted +1.
+* template posing (get_template:426-488): yaw about camera-y, then translate.
+
+TPU design: one car = one fused pose-grid evaluation using membership fields
+(ops/tfl.py) followed by an exact fine pass; cars are vmapped into a padded
+batch (arrays-not-objects, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monosowa_tpu.ops import tfl
+from monosowa_tpu.ops.geometry import masked_median, rot_y
+
+
+@dataclasses.dataclass(frozen=True)
+class FitConfig:
+    """Grid geometry; defaults = reference configs/config.yaml optimization.*"""
+
+    dx_min: float = -2.0
+    dx_max: float = 2.0
+    dz_min: float = -1.0
+    dz_max: float = 3.0
+    n_dx: int = 40
+    n_dz: int = 40
+    n_theta: int = 40
+    n_theta_fine: int = 360
+    radius: float = 0.2          # binary_loss_threshold
+    moving_dz_shift: float = 1.0  # optimize_moving shifts the z range by +1
+    fine_chunk: int = 24          # theta chunking for the exact fine pass
+
+
+class FitResult(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    theta: jnp.ndarray
+    loss: jnp.ndarray
+
+
+def _pose_grids(cfg: FitConfig):
+    thetas = np.linspace(0.0, 2 * np.pi - 2 * np.pi / cfg.n_theta,
+                         cfg.n_theta, dtype=np.float32)
+    dx = np.linspace(cfg.dx_min, cfg.dx_max, cfg.n_dx, dtype=np.float32)
+    dz = np.linspace(cfg.dz_min, cfg.dz_max, cfg.n_dz, dtype=np.float32)
+    gx, gz = np.meshgrid(dx, dz, indexing="ij")
+    trans = np.stack([gx.reshape(-1), np.zeros(gx.size, np.float32),
+                      gz.reshape(-1)], -1)
+    return jnp.asarray(thetas), jnp.asarray(trans)
+
+
+def _fine_thetas(cfg: FitConfig):
+    return jnp.asarray(np.linspace(
+        0.0, 2 * np.pi - 2 * np.pi / cfg.n_theta_fine, cfg.n_theta_fine,
+        dtype=np.float32))
+
+
+def exact_theta_losses(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                       template: jnp.ndarray, trans: jnp.ndarray,
+                       thetas: jnp.ndarray, radius: float,
+                       chunk: int = 24) -> jnp.ndarray:
+    """Exact binary2way TFL for all thetas at one fixed translation.
+
+    Chunked over theta so the (chunk*T, S) distance matrix stays VMEM-sized.
+    """
+    n = thetas.shape[0]
+    pad = (-n) % chunk
+    th = jnp.concatenate([thetas, jnp.zeros(pad, thetas.dtype)])
+    th = th.reshape(-1, chunk)
+
+    def per_chunk(th_c):
+        rot = rot_y(th_c)                                   # (chunk, 3, 3)
+        posed = jnp.einsum("tj,cij->cti", template, rot) + trans
+        return tfl.binary_both_way_loss(scan_local, scan_mask, posed, radius)
+
+    losses = jax.lax.map(per_chunk, th).reshape(-1)
+    return losses[:n]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fit_standing_car(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                     template: jnp.ndarray, template_field: jnp.ndarray,
+                     cfg: FitConfig = FitConfig()) -> FitResult:
+    """Coarse grid (membership fields) + exact fine theta pass.
+
+    scan_local: (S, 3) points relative to the car median center.
+    Returns the pose offset relative to the center (x/z are deltas; y = 0).
+    """
+    thetas, trans = _pose_grids(cfg)
+    losses = tfl.grid_pose_losses(scan_local, scan_mask, template,
+                                  template_field, thetas, trans, cfg.radius)
+    flat = losses.reshape(-1)
+    best = jnp.argmin(flat)
+    bi_theta = best // trans.shape[0]
+    bi_trans = best % trans.shape[0]
+    t_best = trans[bi_trans]
+
+    fine = exact_theta_losses(scan_local, scan_mask, template, t_best,
+                              _fine_thetas(cfg), cfg.radius, cfg.fine_chunk)
+    fbest = jnp.argmin(fine)
+    return FitResult(x=t_best[0], y=jnp.float32(0.0), z=t_best[2],
+                     theta=_fine_thetas(cfg)[fbest], loss=fine[fbest])
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fit_moving_car(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                   template: jnp.ndarray, template_field: jnp.ndarray,
+                   theta_est: jnp.ndarray, theta_valid: jnp.ndarray,
+                   cfg: FitConfig = FitConfig()) -> FitResult:
+    """Moving car: translation grid (dz +1 shifted) at fixed trajectory theta;
+    if no reliable trajectory angle, falls back to the full theta grid
+    (optimize_moving:306-311)."""
+    thetas_full, trans = _pose_grids(cfg)
+    trans = trans + jnp.array([0.0, 0.0, cfg.moving_dz_shift])
+
+    thetas = jnp.where(theta_valid,
+                       jnp.full_like(thetas_full, theta_est),
+                       thetas_full)
+    losses = tfl.grid_pose_losses(scan_local, scan_mask, template,
+                                  template_field, thetas, trans, cfg.radius)
+    # when theta is fixed all rows are identical; argmin picks row 0
+    flat = losses.reshape(-1)
+    best = jnp.argmin(flat)
+    bi_theta = best // trans.shape[0]
+    bi_trans = best % trans.shape[0]
+    return FitResult(x=trans[bi_trans, 0], y=jnp.float32(0.0),
+                     z=trans[bi_trans, 2], theta=thetas[bi_theta],
+                     loss=flat[best])
+
+
+def estimate_angle_from_track(locations: np.ndarray, valid: np.ndarray,
+                              ref_idx: int, min_dist: float = 3.0,
+                              kitti_convention: bool = True) -> Optional[float]:
+    """Trajectory yaw estimate (optimizer.py:347-424): median arctan2 of
+    displacements from the reference frame to up to 5 sufficiently-distant
+    neighbours on each side; odd-length median; mapped into the fitting
+    frame with theta = -angle + pi/2 for camera-frame datasets.
+
+    locations: (F, 3) per-frame car centers (camera coords), valid: (F,) bool.
+    Returns None when fewer than 3 usable displacement angles exist.
+    """
+    if valid.sum() < 3 or not valid[ref_idx]:
+        return None
+    ref = locations[ref_idx]
+    angles = []
+
+    def scan(indices):
+        count = 0
+        for i in indices:
+            if count >= 5:
+                break
+            if not valid[i]:
+                continue
+            d = np.hypot(locations[i][0] - ref[0], locations[i][2] - ref[2])
+            if d > min_dist:
+                if i < ref_idx:
+                    a = np.arctan2(ref[2] - locations[i][2],
+                                   ref[0] - locations[i][0])
+                else:
+                    a = np.arctan2(locations[i][2] - ref[2],
+                                   locations[i][0] - ref[0])
+                angles.append(a)
+                count += 1
+
+    scan(range(ref_idx - 1, -1, -1))
+    scan(range(ref_idx + 1, len(locations)))
+    if len(angles) < 3:
+        return None
+    if len(angles) % 2 == 0:
+        angles.append(angles[-1])
+    pred = float(np.median(np.array(angles)))
+    if pred > np.pi:
+        pred -= 2 * np.pi
+    if kitti_convention:
+        pred = -pred + np.pi / 2
+    return pred
+
+
+# ---------------------------------------------------------------------------
+# Batched car fitting
+# ---------------------------------------------------------------------------
+
+class CarBatch(NamedTuple):
+    """Padded SoA batch of car point clouds ready for fitting.
+
+    points: (B, S, 3) camera-frame aggregated points; mask: (B, S);
+    moving: (B,) bool; theta_est/theta_valid: (B,) trajectory angles;
+    car_valid: (B,) bool.
+    """
+
+    points: jnp.ndarray
+    mask: jnp.ndarray
+    moving: jnp.ndarray
+    theta_est: jnp.ndarray
+    theta_valid: jnp.ndarray
+    car_valid: jnp.ndarray
+
+
+class BatchFitResult(NamedTuple):
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    theta: jnp.ndarray
+    loss: jnp.ndarray
+    center: jnp.ndarray  # (B, 3) medians the offsets are relative to
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def fit_cars(batch: CarBatch, template: jnp.ndarray,
+             template_field: jnp.ndarray,
+             cfg: FitConfig = FitConfig()) -> BatchFitResult:
+    """Fit every car in a padded batch: one vmap, no python per-car loop.
+
+    Both standing and moving paths are evaluated through the same grid
+    kernel (they differ only in theta set and dz shift), selected per car
+    with jnp.where — no data-dependent control flow under jit.
+    """
+
+    def fit_one(points, mask, moving, theta_est, theta_valid):
+        center = masked_median(points, mask)
+        local = points - center
+        standing = fit_standing_car(local, mask, template, template_field, cfg)
+        mov = fit_moving_car(local, mask, template, template_field,
+                             theta_est, theta_valid, cfg)
+        pick = lambda a, b: jnp.where(moving, b, a)
+        return (pick(standing.x, mov.x), pick(standing.z, mov.z),
+                pick(standing.theta, mov.theta), pick(standing.loss, mov.loss),
+                center)
+
+    xs, zs, thetas, losses, centers = jax.vmap(fit_one)(
+        batch.points, batch.mask, batch.moving, batch.theta_est,
+        batch.theta_valid)
+    return BatchFitResult(
+        x=centers[:, 0] + xs, y=centers[:, 1],
+        z=centers[:, 2] + zs, theta=thetas, loss=losses, center=centers)
