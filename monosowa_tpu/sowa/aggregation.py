@@ -1,0 +1,183 @@
+"""Track-level point aggregation and filtering, plus CarBatch assembly.
+
+Behavioral contract (pseudo_label_generator/3d/scripts/loader.py):
+
+* ``choose_ref_mask``            = choose_proper_mask (639-660): the mask of
+  the reference-frame observation; cars never seen in the reference frame
+  are "hidden" (mask None).
+* ``aggregate_standing_clever``  = standing_concatenate_lidar_clever
+  (783-810): keep the 10 observation frames where the car was closest to the
+  ego camera (distance computed in that frame's own coordinates via the
+  inverse ego transform), truncated masks penalized +5 m; concatenate their
+  ref-frame points.
+* ``moving_keep_ref``            = moving_lidar_keep_ref (756-771): a moving
+  car keeps only its reference-frame points.
+* ``filter_moving_not_visible``  = filter_moving_and_not_visible (826-849).
+* ``filter_hidden_standing``     = filter_hidden_standing_cars_tracked
+  (851-875), pseudo-lidar branch: drop standing cars with no ref mask.
+* point cap 10 000 per car       = loader.py:188-192.
+* ``build_car_batch``: pad everything into the SoA arrays the vmapped TPU
+  fitter consumes (fitting.CarBatch).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import numpy as np
+
+from monosowa_tpu.sowa.fitting import CarBatch, estimate_angle_from_track
+from monosowa_tpu.sowa.lomm import Track
+
+MAX_POINTS_PER_CAR = 10000
+
+
+def mask_is_truncated(mask: Optional[np.ndarray], rows: int = 10) -> bool:
+    """True if the 2D mask touches the top or bottom image border
+    (loader.py:794)."""
+    if mask is None:
+        return False
+    return bool(np.any(mask[:rows, :]) or np.any(mask[-rows:, :]))
+
+
+def choose_ref_mask(track: Track):
+    """Return the reference-frame (offset 0) mask or None if hidden."""
+    for f, m in zip(track.frames, track.masks):
+        if f == 0:
+            return m
+    return None
+
+
+def aggregate_standing_clever(track: Track,
+                              transforms: np.ndarray,
+                              window: Sequence[int],
+                              keep_k: int = 10) -> Optional[np.ndarray]:
+    """Concatenate ref-frame points of the k closest untruncated frames.
+
+    transforms: (W, 4, 4) per-window-frame ``T_cur_to_ref`` (camera coords);
+    the per-frame ego distance of the car is computed by mapping its
+    ref-frame location back through inv(T) (loader.py:786-800).
+    """
+    base = window[0]
+    dists = []
+    pts_list = []
+    for f, loc, pts, mask in zip(track.frames, track.locations, track.points,
+                                 track.masks):
+        if pts is None:
+            continue
+        t_inv = np.linalg.inv(transforms[f - base])
+        loc_local = t_inv[:3, :3] @ np.asarray(loc[:3]) + t_inv[:3, 3]
+        d = float(np.hypot(loc_local[0], loc_local[2]))
+        if mask_is_truncated(mask):
+            d += 5.0
+        dists.append(d)
+        pts_list.append(pts)
+    if not pts_list:
+        return None
+    order = np.argsort(np.asarray(dists))[:keep_k]
+    return np.concatenate([pts_list[i] for i in order], axis=0)
+
+
+def moving_keep_ref(track: Track) -> Optional[np.ndarray]:
+    for f, pts in zip(track.frames, track.points):
+        if f == 0:
+            return pts
+    return None
+
+
+def filter_moving_not_visible(tracks: Sequence[Track]) -> List[Track]:
+    """Drop moving cars with no reference-frame observation."""
+    out = []
+    for t in tracks:
+        if t.moving and 0 not in t.frames:
+            continue
+        out.append(t)
+    return out
+
+
+def filter_hidden_standing(tracks: Sequence[Track]) -> List[Track]:
+    """Pseudo-lidar branch: keep cars whose reference mask exists."""
+    return [t for t in tracks if choose_ref_mask(t) is not None or t.moving]
+
+
+def cap_points(pts: np.ndarray, cap: int = MAX_POINTS_PER_CAR,
+               seed: int = 12345) -> np.ndarray:
+    if pts.shape[0] <= cap:
+        return pts
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(pts.shape[0], size=cap, replace=False)
+    return pts[idx]
+
+
+def aggregate_tracks(tracks: Sequence[Track], transforms: np.ndarray,
+                     window: Sequence[int], keep_k: int = 10,
+                     min_points: int = 1000):
+    """Full post-classification aggregation: returns (kept_tracks,
+    per-track aggregated points, per-track ref masks).
+
+    ``min_points`` mirrors lidar_threshold_during_optim (standing cars with
+    fewer aggregated points are dropped — filtering.py:21-22).
+    """
+    tracks = filter_moving_not_visible(tracks)
+    tracks = filter_hidden_standing(tracks)
+    kept, points, masks = [], [], []
+    for t in tracks:
+        if t.moving:
+            pts = moving_keep_ref(t)
+        else:
+            pts = aggregate_standing_clever(t, transforms, window, keep_k)
+            if pts is not None and pts.shape[0] < min_points:
+                pts = None
+        if pts is None or pts.shape[0] == 0:
+            continue
+        kept.append(t)
+        points.append(cap_points(np.asarray(pts, np.float32)))
+        masks.append(choose_ref_mask(t))
+    return kept, points, masks
+
+
+def build_car_batch(tracks: Sequence[Track],
+                    points: Sequence[np.ndarray],
+                    window: Sequence[int],
+                    max_cars: int,
+                    max_points: int,
+                    angle_min_dist: float = 3.0) -> CarBatch:
+    """Pad per-car point clouds into the SoA batch the fitter vmaps over.
+
+    Cars beyond ``max_cars`` are dropped (callers should size generously);
+    per-car points beyond ``max_points`` are randomly subsampled.
+    """
+    b = min(len(tracks), max_cars)
+    pts = np.zeros((max_cars, max_points, 3), np.float32)
+    mask = np.zeros((max_cars, max_points), bool)
+    moving = np.zeros(max_cars, bool)
+    theta_est = np.zeros(max_cars, np.float32)
+    theta_valid = np.zeros(max_cars, bool)
+    valid = np.zeros(max_cars, bool)
+
+    for i in range(b):
+        p = points[i]
+        if p.shape[0] > max_points:
+            p = cap_points(p, max_points, seed=12345 + i)
+        pts[i, :p.shape[0]] = p
+        mask[i, :p.shape[0]] = True
+        valid[i] = True
+        moving[i] = tracks[i].moving
+        if tracks[i].moving:
+            locs, lvalid = tracks[i].location_array(window)
+            try:
+                ref_idx = list(window).index(0)
+            except ValueError:
+                ref_idx = 0
+            ang = estimate_angle_from_track(locs, lvalid, ref_idx,
+                                            min_dist=angle_min_dist)
+            if ang is not None:
+                theta_est[i] = ang
+                theta_valid[i] = True
+
+    import jax.numpy as jnp
+    return CarBatch(points=jnp.asarray(pts), mask=jnp.asarray(mask),
+                    moving=jnp.asarray(moving),
+                    theta_est=jnp.asarray(theta_est),
+                    theta_valid=jnp.asarray(theta_valid),
+                    car_valid=jnp.asarray(valid))
