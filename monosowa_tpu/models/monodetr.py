@@ -1,0 +1,274 @@
+"""MonoDETR-equivalent monocular 3D detector (Flax, NHWC, batch-first).
+
+Behavioral contract (MonoDETR/lib/models/monodetr/monodetr.py:34-299):
+
+* input projections of C3/C4/C5 to hidden_dim + one extra stride-64 level
+  (:84-105);
+* 50 queries x 11 Group-DETR groups during training, first group at
+  inference (:200-216);
+* initial 2-dof reference points from a linear over the query pos embedding
+  (depthaware_transformer.py:123, :283-287);
+* per-decoder-layer heads with iterative 6-dof box refinement (:219-274):
+  class logits, (cx, cy, l, r, t, b) boxes, 3D dims, 24-channel angle
+  (12-bin cls + res), (depth, log-sigma) regression;
+* fused depth = average of regression depth 1/sigmoid(d)-1, geometric depth
+  f*h3d/h2d, and the bilinearly-sampled weighted depth map (:246-263);
+* aux outputs per intermediate decoder layer (:289-297).
+
+Cited line numbers document parity; the implementation is an independent
+JAX design (static shapes, no padding masks — the pipeline runs fixed
+1280x384 inputs where the reference's masks are identically all-valid).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monosowa_tpu.models.backbone import ResNet50
+from monosowa_tpu.models.depth_predictor import DepthPredictor
+from monosowa_tpu.models.layers import MLP, inverse_sigmoid
+from monosowa_tpu.models.position_encoding import sine_position_encoding
+from monosowa_tpu.models.transformer import (
+    DepthAwareDecoderLayer, VisualEncoder)
+
+
+def _focal_bias_init(prior_prob: float = 0.01):
+    value = -math.log((1 - prior_prob) / prior_prob)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jnp.full(shape, value, dtype)
+
+    return init
+
+
+class BBoxEmbed(nn.Module):
+    """3-layer MLP to 6-dof; first clone's final bias[2:] starts at -2
+    (monodetr.py:136)."""
+
+    d_model: int
+    init_minus_two: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.relu(nn.Dense(self.d_model)(x))
+        x = nn.relu(nn.Dense(self.d_model)(x))
+
+        def bias_init(key, shape, dtype=jnp.float32):
+            b = jnp.zeros(shape, dtype)
+            if self.init_minus_two:
+                b = b.at[2:].set(-2.0)
+            return b
+
+        return nn.Dense(6, bias_init=bias_init)(x)
+
+
+class MonoDETR(nn.Module):
+    num_classes: int = 3
+    num_queries: int = 50
+    group_num: int = 11
+    d_model: int = 256
+    d_ffn: int = 256
+    nheads: int = 8
+    enc_layers: int = 3
+    dec_layers: int = 3
+    num_feature_levels: int = 4
+    enc_n_points: int = 4
+    dec_n_points: int = 4
+    dropout: float = 0.1
+    num_depth_bins: int = 80
+    depth_min: float = 1e-3
+    depth_max: float = 60.0
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, calibs: jnp.ndarray,
+                 img_sizes: jnp.ndarray, training: bool = False
+                 ) -> Dict[str, Any]:
+        """images (B, H, W, 3) normalized; calibs (B, 3, 4) P2; img_sizes
+        (B, 2) as (width, height).  Returns the reference's output dict."""
+        deterministic = not training
+        b = images.shape[0]
+
+        feats = ResNet50(name="backbone")(images)  # C3, C4, C5
+
+        srcs = []
+        for i, f in enumerate(feats):
+            y = nn.Conv(self.d_model, (1, 1), name=f"input_proj{i}")(f)
+            srcs.append(nn.GroupNorm(num_groups=32)(y))
+        y = nn.Conv(self.d_model, (3, 3), strides=(2, 2),
+                    padding=((1, 1), (1, 1)), name="input_proj3")(feats[-1])
+        srcs.append(nn.GroupNorm(num_groups=32)(y))
+
+        spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
+        pos = [jnp.asarray(sine_position_encoding(h, w, self.d_model // 2))
+               for h, w in spatial_shapes]
+
+        level_embed = self.param("level_embed", nn.initializers.normal(1.0),
+                                 (self.num_feature_levels, self.d_model))
+
+        src_flat = jnp.concatenate(
+            [s.reshape(b, -1, self.d_model) for s in srcs], axis=1)
+        pos_flat = jnp.concatenate(
+            [(p.reshape(1, -1, self.d_model) + level_embed[i][None, None, :])
+             for i, p in enumerate(pos)], axis=1)
+        pos_flat = jnp.broadcast_to(pos_flat, src_flat.shape)
+
+        # ------- depth predictor (stride-16 grid) ----------------------
+        depth_logits, depth_embed, weighted_depth, _ = DepthPredictor(
+            self.d_model, self.num_depth_bins, self.depth_min, self.depth_max,
+            name="depth_predictor")(srcs[:3], pos[1], deterministic)
+        h16, w16 = spatial_shapes[1]
+        depth_embed_seq = depth_embed.reshape(b, h16 * w16, self.d_model)
+
+        # ------- encoder ----------------------------------------------
+        memory = VisualEncoder(
+            self.enc_layers, self.d_model, self.d_ffn, self.dropout,
+            self.num_feature_levels, self.nheads, self.enc_n_points,
+            name="encoder")(src_flat, pos_flat, spatial_shapes, deterministic)
+
+        # ------- queries ----------------------------------------------
+        query_table = self.param("query_embed", nn.initializers.normal(1.0),
+                                 (self.num_queries * self.group_num,
+                                  2 * self.d_model))
+        nq = self.num_queries * self.group_num if training else self.num_queries
+        qe = query_table[:nq]
+        query_pos = jnp.broadcast_to(qe[None, :, :self.d_model],
+                                     (b, nq, self.d_model))
+        tgt = jnp.broadcast_to(qe[None, :, self.d_model:],
+                               (b, nq, self.d_model))
+        ref = jax.nn.sigmoid(
+            nn.Dense(2, name="reference_points")(query_pos))  # (B, nq, 2)
+
+        # ------- decoder with iterative refinement ---------------------
+        heads_class = [nn.Dense(self.num_classes,
+                                bias_init=_focal_bias_init(),
+                                name=f"class_embed{i}")
+                       for i in range(self.dec_layers)]
+        heads_bbox = [BBoxEmbed(self.d_model, init_minus_two=(i == 0),
+                                name=f"bbox_embed{i}")
+                      for i in range(self.dec_layers)]
+        heads_dim = [MLP(self.d_model, 3, 2, name=f"dim_embed{i}")
+                     for i in range(self.dec_layers)]
+        heads_angle = [MLP(self.d_model, 24, 2, name=f"angle_embed{i}")
+                       for i in range(self.dec_layers)]
+        heads_depth = [MLP(self.d_model, 2, 2, name=f"depth_embed{i}")
+                       for i in range(self.dec_layers)]
+
+        output = tgt
+        refs_before = []      # reference entering each layer
+        hs = []
+        for lid in range(self.dec_layers):
+            l = self.num_feature_levels
+            if ref.shape[-1] == 6:
+                ref_input = jnp.tile(ref[:, :, None, :], (1, 1, l, 1))
+            else:
+                ref_input = jnp.tile(ref[:, :, None, :], (1, 1, l, 1))
+            output = DepthAwareDecoderLayer(
+                self.d_model, self.d_ffn, self.dropout,
+                self.num_feature_levels, self.nheads, self.dec_n_points,
+                self.group_num, name=f"decoder_layer{lid}")(
+                output, query_pos, ref_input, memory, spatial_shapes,
+                depth_embed_seq, training, deterministic)
+            refs_before.append(ref)
+            hs.append(output)
+            # in-decoder refinement (detached, depthaware_transformer.py:601-613)
+            tmp = heads_bbox[lid](output)
+            if ref.shape[-1] == 6:
+                new_ref = jax.nn.sigmoid(tmp + inverse_sigmoid(ref))
+            else:
+                new_ref = jax.nn.sigmoid(
+                    tmp.at[..., :2].add(inverse_sigmoid(ref)))
+            ref = jax.lax.stop_gradient(new_ref)
+
+        # ------- per-layer heads (monodetr.py:219-274) ------------------
+        outputs = []
+        for lid in range(self.dec_layers):
+            reference = inverse_sigmoid(refs_before[lid])
+            tmp = heads_bbox[lid](hs[lid])
+            if reference.shape[-1] == 6:
+                tmp = tmp + reference
+            else:
+                tmp = tmp.at[..., :2].add(reference)
+            coord = jax.nn.sigmoid(tmp)                      # (B, nq, 6)
+            logits = heads_class[lid](hs[lid])
+            size3d = heads_dim[lid](hs[lid])
+            angle = heads_angle[lid](hs[lid])
+            depth_reg = heads_depth[lid](hs[lid])
+
+            box2d_h = jnp.clip((coord[..., 4] + coord[..., 5])
+                               * img_sizes[:, 1:2], 1.0, None)
+            depth_geo = size3d[..., 0] / box2d_h * calibs[:, 0, 0][:, None]
+
+            center = jax.lax.stop_gradient(coord[..., :2])
+            depth_map_s = _sample_depth_map(weighted_depth, center)
+
+            depth_val = ((1.0 / (jax.nn.sigmoid(depth_reg[..., 0:1]) + 1e-6)
+                          - 1.0) + depth_geo[..., None]
+                         + depth_map_s[..., None]) / 3.0
+            depth = jnp.concatenate([depth_val, depth_reg[..., 1:2]], -1)
+
+            outputs.append({"pred_logits": logits, "pred_boxes": coord,
+                            "pred_3d_dim": size3d, "pred_angle": angle,
+                            "pred_depth": depth})
+
+        out = dict(outputs[-1])
+        out["pred_depth_map_logits"] = depth_logits
+        out["aux_outputs"] = outputs[:-1]
+        out["weighted_depth"] = weighted_depth
+        return out
+
+
+def _sample_depth_map(depth_map: jnp.ndarray, centers: jnp.ndarray
+                      ) -> jnp.ndarray:
+    """Bilinear sample (B, H, W) at normalized centers (B, Q, 2) in [0, 1]
+    with torch grid_sample align_corners=True semantics (monodetr.py:251-257
+    uses grid (2c-1), align_corners=True)."""
+    bsz, h, w = depth_map.shape
+    x = centers[..., 0] * (w - 1)
+    y = centers[..., 1] * (h - 1)
+    x0 = jnp.clip(jnp.floor(x), 0, w - 1)
+    y0 = jnp.clip(jnp.floor(y), 0, h - 1)
+    x1 = jnp.clip(x0 + 1, 0, w - 1)
+    y1 = jnp.clip(y0 + 1, 0, h - 1)
+    dx = jnp.clip(x - x0, 0.0, 1.0)
+    dy = jnp.clip(y - y0, 0.0, 1.0)
+
+    flat = depth_map.reshape(bsz, h * w)
+
+    def take(yc, xc):
+        idx = (yc * w + xc).astype(jnp.int32)
+        return jnp.take_along_axis(flat, idx, axis=1)
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x1)
+    v10 = take(y1, x0)
+    v11 = take(y1, x1)
+    return (v00 * (1 - dx) * (1 - dy) + v01 * dx * (1 - dy)
+            + v10 * (1 - dx) * dy + v11 * dx * dy)
+
+
+def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
+    """Construct from a reference-style model config dict
+    (configs/monodetr.yaml model section)."""
+    return MonoDETR(
+        num_classes=cfg.get("num_classes", 3),
+        num_queries=cfg.get("num_queries", 50),
+        group_num=11,
+        d_model=cfg.get("hidden_dim", 256),
+        d_ffn=cfg.get("dim_feedforward", 256),
+        nheads=cfg.get("nheads", 8),
+        enc_layers=cfg.get("enc_layers", 3),
+        dec_layers=cfg.get("dec_layers", 3),
+        num_feature_levels=cfg.get("num_feature_levels", 4),
+        enc_n_points=cfg.get("enc_n_points", 4),
+        dec_n_points=cfg.get("dec_n_points", 4),
+        dropout=cfg.get("dropout", 0.1),
+        num_depth_bins=cfg.get("num_depth_bins", 80),
+        depth_min=float(cfg.get("depth_min", 1e-3)),
+        depth_max=float(cfg.get("depth_max", 60.0)),
+    )
