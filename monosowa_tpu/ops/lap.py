@@ -50,64 +50,98 @@ def solve_lap_host(cost: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
         vmap_method="sequential")
 
 
-@partial(jax.jit, static_argnames=("num_iters",))
+@partial(jax.jit, static_argnames=("num_phases", "rounds_per_phase"))
 def solve_lap_auction(cost: jnp.ndarray, m: jnp.ndarray,
-                      num_iters: int = 2000) -> jnp.ndarray:
-    """Forward auction on the transposed problem (columns bid for rows).
+                      num_phases: int = 10,
+                      rounds_per_phase: int = 200) -> jnp.ndarray:
+    """Jacobi (parallel-bidding) auction with epsilon scaling.
 
-    Minimizes total cost over an assignment of every valid column to a
-    distinct row.  eps-scaling: eps shrinks geometrically from max|cost|/4
-    to ~1e-4 across ``num_iters`` rounds; each round one unassigned column
-    bids for its best row.
+    All unassigned columns bid simultaneously for their best row; each row
+    accepts the highest bid.  Per phase, epsilon shrinks 5x and assignments
+    are cleared while prices persist (standard eps-scaling); with final
+    eps << spread/n the result matches the optimal assignment on
+    DETR-scale (<=550 x 50) matrices.  Everything is fixed-shape; one
+    while_loop per phase bounded by ``rounds_per_phase``.
     """
     q, mmax = cost.shape
-    # benefit maximization for columns: b[j, i] = -cost[i, j]
-    benefit = -cost.T                                     # (M, Q)
-    col_valid = jnp.arange(mmax) < m
-    benefit = jnp.where(col_valid[:, None], benefit, -BIG)
+    # Square the problem: asymmetric forward auction lacks the lambda price
+    # floor and can stall far from optimal; with (q - m) constant-benefit
+    # dummy columns soaking up the surplus rows, plain eps-scaled auction is
+    # optimal within q*eps (Bertsekas).  Dummy/dummy-invalid columns get a
+    # uniform 0 benefit so they never affect the real assignment's argmax.
+    n = q
+    benefit = jnp.zeros((n, q))
+    col_valid_in = jnp.arange(mmax) < m
+    real = jnp.where(col_valid_in[:, None], -cost.T, 0.0)  # (mmax, q)
+    benefit = benefit.at[:mmax].set(real)
+    is_real = jnp.concatenate([col_valid_in, jnp.zeros(n - mmax, bool)]) \
+        if n > mmax else col_valid_in[:n]
+    col_valid = jnp.ones(n, bool)
+    col_ids = jnp.arange(n, dtype=jnp.int32)
+    mmax_sq = n
+
+    spread = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1.0)
+    eps_final = spread * 1e-4
+    eps0 = spread / 2.0
+    shrink = (eps_final / eps0) ** (1.0 / max(num_phases - 1, 1))
+
+    def phase(p, carry):
+        prices, _, _ = carry
+        eps = eps0 * shrink ** p
+        owner = jnp.full(q, -1, jnp.int32)
+        assigned = jnp.full(n, -1, jnp.int32)
+
+        def cond(state):
+            it, _, _, assigned = state
+            return (it < rounds_per_phase) & jnp.any(
+                (assigned < 0) & col_valid)
+
+        def round_(state):
+            it, prices, owner, assigned = state
+            unassigned = (assigned < 0) & col_valid       # (M,)
+            vals = benefit - prices[None, :]              # (M, Q)
+            best = jnp.argmax(vals, axis=1)               # (M,)
+            best_val = jnp.max(vals, axis=1)
+            vals2 = vals.at[col_ids, best].set(-jnp.inf)
+            second_val = jnp.max(vals2, axis=1)
+            bid = jnp.take(prices, best) + best_val - second_val + eps
+
+            # rows accept the highest bid among bidding columns
+            bids_on = (jax.lax.broadcasted_iota(jnp.int32, (q, n), 0)
+                       == best[None, :]) & unassigned[None, :]  # (Q, M)
+            bid_mat = jnp.where(bids_on, bid[None, :], -jnp.inf)
+            win_val = jnp.max(bid_mat, axis=1)            # (Q,)
+            win_col = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)
+            has_bid = jnp.isfinite(win_val)
+
+            # columns displaced by a new winner lose their row
+            disp = jnp.any(has_bid[:, None]
+                           & (owner[:, None] == col_ids[None, :])
+                           & (win_col[:, None] != col_ids[None, :]), axis=0)
+            assigned = jnp.where(disp, -1, assigned)
+            # winners take rows (win_col is distinct across bidding rows:
+            # each column bids for exactly one row)
+            rows = jnp.arange(q, dtype=jnp.int32)
+            padded = jnp.concatenate([assigned, jnp.full(1, -1, jnp.int32)])
+            idx = jnp.where(has_bid, win_col, n)
+            padded = padded.at[idx].set(jnp.where(has_bid, rows, -1))
+            assigned = padded[:n]
+            owner = jnp.where(has_bid, win_col, owner)
+            prices = jnp.where(has_bid, win_val, prices)
+            return it + 1, prices, owner, assigned
+
+        _, prices, owner, assigned = jax.lax.while_loop(
+            cond, round_, (0, prices, owner, assigned))
+        return prices, owner, assigned
 
     prices = jnp.zeros(q)
-    owner = jnp.full(q, -1, jnp.int32)        # row -> column owning it
-    assigned = jnp.full(mmax, -1, jnp.int32)  # column -> row
-
-    eps0 = jnp.maximum(jnp.max(jnp.abs(cost)), 1.0) / 4.0
-    decay = jnp.exp(jnp.log(1e-4 / eps0) / num_iters)
-
-    def body(it, state):
-        prices, owner, assigned = state
-        eps = eps0 * decay ** it
-        # first unassigned valid column
-        unassigned = (assigned < 0) & col_valid
-        j = jnp.argmax(unassigned)
-        has = jnp.any(unassigned)
-
-        vals = benefit[j] - prices                        # (Q,)
-        best = jnp.argmax(vals)
-        best_val = vals[best]
-        vals2 = vals.at[best].set(-jnp.inf)
-        second_val = jnp.max(vals2)
-        bid = prices[best] + best_val - second_val + eps
-
-        def do_assign(args):
-            prices, owner, assigned = args
-            prev = owner[best]
-            assigned = jnp.where(prev >= 0, assigned.at[prev].set(-1),
-                                 assigned)
-            assigned = assigned.at[j].set(best)
-            owner = owner.at[best].set(j)
-            prices = prices.at[best].set(bid)
-            return prices, owner, assigned
-
-        return jax.lax.cond(has, do_assign, lambda a: a,
-                            (prices, owner, assigned))
-
+    owner = jnp.full(q, -1, jnp.int32)
+    assigned = jnp.full(n, -1, jnp.int32)
     prices, owner, assigned = jax.lax.fori_loop(
-        0, num_iters, body, (prices, owner, assigned))
+        0, num_phases, phase, (prices, owner, assigned))
 
-    # row -> column map
     out = jnp.full(q, -1, jnp.int32)
     rows = jnp.where(assigned >= 0, assigned, 0)
-    vals = jnp.where(assigned >= 0, jnp.arange(mmax, dtype=jnp.int32), -1)
+    vals = jnp.where((assigned >= 0) & is_real, col_ids, -1)
     out = out.at[rows].max(vals)
-    # rows never assigned keep -1; max with -1 initial handles collisions
     return out
