@@ -1,0 +1,115 @@
+"""pjit data-parallel training loop.
+
+Behavioral contract (MonoDETR/lib/helpers/trainer_helper.py:15-191): epoch
+loop with per-epoch checkpointing and best-model tracking; targets filtered
+by mask_2d before the criterion (prepare_targets :180-191); loss = weighted
+sum of the criterion dict.
+
+TPU design: one jitted ``train_step`` consuming a globally-sharded batch
+(parallel.mesh); gradients all-reduce over ICI implicitly.  The matcher
+runs the on-device auction backend under jit (no host callbacks inside the
+sharded step).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from monosowa_tpu.models.criterion import (CriterionConfig, Targets,
+                                           criterion)
+from monosowa_tpu.models.matcher import MatcherConfig
+from monosowa_tpu.models.monodetr import MonoDETR
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    frozen: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, frozen, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=params,
+                   frozen=frozen, opt_state=tx.init(params), tx=tx)
+
+
+def targets_from_batch(batch: Dict[str, jnp.ndarray]) -> Targets:
+    """Batch dict -> padded Targets; validity gated by mask_2d like the
+    reference's prepare_targets (trainer_helper.py:180-191)."""
+    valid = batch["valid"] & batch["mask_2d"]
+    return Targets(labels=batch["labels"].astype(jnp.int32),
+                   boxes_3d=batch["boxes_3d"],
+                   boxes_2d=batch["boxes"],
+                   depth=batch["depth"],
+                   size_3d=batch["size_3d"],
+                   heading_bin=batch["heading_bin"].astype(jnp.int32),
+                   heading_res=batch["heading_res"],
+                   valid=valid)
+
+
+def make_train_step(model: MonoDETR, ccfg: Optional[CriterionConfig] = None):
+    """Build the jitted train step.  ccfg defaults to the reference loss
+    weights with the device-native auction matcher."""
+    if ccfg is None:
+        ccfg = CriterionConfig(
+            group_num=model.group_num, num_queries=model.num_queries,
+            num_classes=model.num_classes,
+            matcher=MatcherConfig(backend="auction"))
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
+                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        targets = targets_from_batch(batch)
+
+        def loss_fn(params):
+            out = model.apply(
+                {"params": params, "frozen": state.frozen},
+                batch["image"], batch["calib"], batch["img_size"],
+                training=True, rngs={"dropout": rng})
+            losses = criterion(out, targets, ccfg, training=True)
+            return losses["loss_total"], losses
+
+        (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params)
+        updates, new_opt = state.tx.update(grads, state.opt_state,
+                                           state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(step=state.step + 1, params=new_params,
+                                  opt_state=new_opt)
+        losses["grad_norm"] = optax.global_norm(grads)
+        return new_state, losses
+
+    return train_step
+
+
+def make_eval_step(model: MonoDETR, topk: int = 50):
+    from monosowa_tpu.train.decode import extract_dets
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        out = model.apply({"params": state.params, "frozen": state.frozen},
+                          batch["image"], batch["calib"], batch["img_size"],
+                          training=False)
+        return extract_dets(out, topk=topk)
+
+    return eval_step
+
+
+def init_state(model: MonoDETR, tx: optax.GradientTransformation,
+               sample_batch: Dict[str, np.ndarray],
+               seed: int = 444) -> TrainState:
+    variables = model.init(jax.random.PRNGKey(seed),
+                           jnp.asarray(sample_batch["image"][:1]),
+                           jnp.asarray(sample_batch["calib"][:1]),
+                           jnp.asarray(sample_batch["img_size"][:1]),
+                           training=False)
+    return TrainState.create(variables["params"], variables["frozen"], tx)
