@@ -1,0 +1,168 @@
+"""Per-frame pseudo-label driver: candidates -> tracking -> classification
+-> aggregation -> batched TPU fitting -> 3D NMS + merge/re-fit -> writer.
+
+Behavioral contract (pseudo_label_generator/3d/scripts/main_class.py:152-270,
+``main_kitti`` optimization path): per reference frame, aggregate the
++-nscans window, fit every car with the TFL grid search, run 3D NMS with
+IoU > 0.1 merging the loser's points into the winner and re-optimizing the
+winner (:227-235), then write the KITTI label txt (output.py:12-91), with
+skip-if-output-exists resumability (:180-184).
+
+TPU design: all cars of a frame are fitted in ONE vmapped fit_cars call;
+the merge/re-fit pass is a second (smaller) batched call.  The host side
+only does data marshaling (arrays-not-objects, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from monosowa_tpu.kittiio.labels import write_pseudo_label_file
+from monosowa_tpu.ops import box3d, tfl
+from monosowa_tpu.sowa import aggregation, candidates, lomm
+from monosowa_tpu.sowa.fitting import (CarBatch, FitConfig, fit_cars)
+from monosowa_tpu.sowa.templates import TemplateBank
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    nscans_before: int = 30
+    nscans_after: int = 30
+    max_cars: int = 32
+    max_points: int = 2048
+    min_standing_points: int = 1000
+    keep_k_frames: int = 10
+    nms_iou: float = 0.1
+    dist_threshold_tracking: float = 10.0
+    moving_method: str = "both5"
+    fit: FitConfig = dataclasses.field(default_factory=FitConfig)
+    candidate: candidates.CandidateConfig = dataclasses.field(
+        default_factory=candidates.CandidateConfig)
+    template_dims_lwh: tuple = (3.88, 1.63, 1.526)
+    skip_non_visible: bool = True
+
+
+class PseudoLabeler:
+    """Holds the template bank + fields; labels one reference frame at a
+    time from per-frame point/mask/transform accessors."""
+
+    def __init__(self, cfg: PipelineConfig = PipelineConfig(),
+                 bank: Optional[TemplateBank] = None):
+        self.cfg = cfg
+        self.bank = bank or TemplateBank.default()
+        self.template = jnp.asarray(self.bank.points[0])
+        self.template_field = tfl.build_template_field(
+            self.bank.points[0], cfg.fit.radius)
+
+    # ------------------------------------------------------------------
+    def label_frame(self, window_frames: Sequence[int], ref_offset_index: int,
+                    get_points: Callable[[int], Optional[np.ndarray]],
+                    get_masks: Callable[[int], Optional[list]],
+                    transforms: np.ndarray, p2: np.ndarray,
+                    img_hw) -> List[dict]:
+        """window_frames: window-relative offsets (0 = reference);
+        get_points/get_masks take the window index; transforms: (W, 4, 4)
+        T_cur_to_ref.  Returns car dicts ready for the label writer."""
+        cfg = self.cfg
+
+        cands = []
+        for k in range(len(window_frames)):
+            pts = get_points(k)
+            masks = get_masks(k)
+            if pts is None or masks is None or len(masks) == 0:
+                cands.append(None)
+                continue
+            cands.append(candidates.extract_candidates(
+                pts, p2, img_hw, masks, transforms[k], cfg.candidate))
+
+        tracks = lomm.greedy_track(cands, window_frames,
+                                   cfg.dist_threshold_tracking)
+        lomm.classify_all(tracks, method=cfg.moving_method)
+        kept, points, ref_masks = aggregation.aggregate_tracks(
+            tracks, transforms, window_frames, cfg.keep_k_frames,
+            cfg.min_standing_points)
+        if not kept:
+            return []
+
+        batch = aggregation.build_car_batch(
+            kept, points, window_frames, cfg.max_cars, cfg.max_points)
+        res = fit_cars(batch, self.template, self.template_field, cfg.fit)
+
+        n = min(len(kept), cfg.max_cars)
+        l, w, h = cfg.template_dims_lwh
+        center = np.stack([np.asarray(res.x)[:n], np.asarray(res.y)[:n],
+                           np.asarray(res.z)[:n]], 1)
+        lwh = np.tile(np.array([l, w, h], np.float32), (n, 1))
+        theta = np.asarray(res.theta)[:n]
+        npts = np.array([p.shape[0] for p in points[:n]], np.float32)
+
+        # ---- 3D NMS + merge/re-fit (loader.py:2727-2800) --------------
+        keep, merged = box3d.nms_3d(
+            jnp.asarray(center), jnp.asarray(lwh), jnp.asarray(theta),
+            jnp.asarray(npts), jnp.ones(n, bool), jnp.float32(cfg.nms_iou))
+        keep = np.asarray(keep)
+        merged = np.asarray(merged)
+
+        refit_targets = sorted({int(merged[i]) for i in range(n)
+                                if not keep[i] and keep[merged[i]]})
+        if refit_targets:
+            merged_points = []
+            for t in refit_targets:
+                parts = [points[t]] + [points[i] for i in range(n)
+                                       if not keep[i] and merged[i] == t]
+                merged_points.append(
+                    aggregation.cap_points(np.concatenate(parts, 0)))
+            sub_tracks = [kept[t] for t in refit_targets]
+            sub_batch = aggregation.build_car_batch(
+                sub_tracks, merged_points, window_frames,
+                max_cars=max(len(refit_targets), 1),
+                max_points=cfg.max_points)
+            sub_res = fit_cars(sub_batch, self.template, self.template_field,
+                               cfg.fit)
+            for j, t in enumerate(refit_targets):
+                center[t] = [float(sub_res.x[j]), float(sub_res.y[j]),
+                             float(sub_res.z[j])]
+                theta[t] = float(sub_res.theta[j])
+
+        # ---- assemble output cars -------------------------------------
+        cars = []
+        for i in range(n):
+            if not keep[i]:
+                continue
+            mask = ref_masks[i]
+            if mask is None and cfg.skip_non_visible:
+                continue
+            cars.append({
+                "cls": "Car",
+                "box2d": mask_bbox(mask) if mask is not None else None,
+                "h": h, "w": w, "l": l,
+                "x": float(center[i, 0]), "y": float(center[i, 1]),
+                "z": float(center[i, 2]), "theta": float(theta[i]),
+                "moving": bool(kept[i].moving),
+                "num_points": int(npts[i]),
+            })
+        return cars
+
+    # ------------------------------------------------------------------
+    def label_and_write(self, out_path: str, *args, overwrite: bool = False,
+                        **kwargs) -> Optional[List[dict]]:
+        """Skip-if-exists wrapper (main_class.py:180-184)."""
+        if os.path.exists(out_path) and not overwrite:
+            return None
+        cars = self.label_frame(*args, **kwargs)
+        os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+        write_pseudo_label_file(out_path, cars)
+        return cars
+
+
+def mask_bbox(mask: np.ndarray) -> np.ndarray:
+    """2D bbox [x1, y1, x2, y2] of a boolean mask (output.py:201-212)."""
+    ys, xs = np.where(mask)
+    if len(xs) == 0:
+        return np.zeros(4)
+    return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.float64)
