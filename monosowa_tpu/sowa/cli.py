@@ -1,0 +1,201 @@
+"""Pseudo-label generator CLI.
+
+CLI contract (pseudo_label_generator/3d/scripts/main.py:5-17): ``--dataset
+{kitti,kitti360,waymo,all,waymo_converted}``, ``--action {lidar_scans,
+transformations, homographies, mask_tracking, frames_aggregation,
+candidates, optimization, dimensions_output, demo}``, ``--config``,
+``--seq_start/--seq_end`` work-sharding.  Multi-machine scaling stays
+share-nothing: N processes over disjoint [seq_start, seq_end) shards with
+skip-if-exists idempotency (main_class.py:606-646) — file existence is the
+completion marker.
+
+Dataset drivers implement the KITTI-object-layout path (images + calib +
+cached pseudo-lidar + cached masks); raw-dataset ingestion converters live
+in tools/.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List, Optional
+
+import numpy as np
+
+from monosowa_tpu.config import Config, PipelineFlags, known_actions, load_config
+from monosowa_tpu.sowa import depth as depth_mod
+from monosowa_tpu.sowa import masks as masks_mod
+from monosowa_tpu.sowa import transforms as transforms_mod
+from monosowa_tpu.sowa.fitting import FitConfig
+from monosowa_tpu.sowa.pipeline import PipelineConfig, PseudoLabeler
+
+
+def parse_args(argv: Optional[List[str]] = None):
+    p = argparse.ArgumentParser("monosowa-tpu pseudo-label generator")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--dataset", type=str, default="kitti",
+                   choices=["kitti", "kitti360", "waymo", "all",
+                            "waymo_converted"])
+    p.add_argument("--action", type=str, required=True,
+                   choices=known_actions())
+    p.add_argument("--seq_start", type=int, default=None)
+    p.add_argument("--seq_end", type=int, default=None)
+    return p.parse_args(argv)
+
+
+def pipeline_config_from(cfg: Config) -> PipelineConfig:
+    fc = cfg.frames_creation or Config({})
+    opt = cfg.optimization or Config({})
+    filt = cfg.filtering or Config({})
+    lf = cfg.loss_functions or Config({})
+    return PipelineConfig(
+        nscans_before=int(fc.get("nscans_before", 30)),
+        nscans_after=int(fc.get("nscans_after", 30)),
+        min_standing_points=int(filt.get("lidar_threshold_during_optim", 1000)),
+        keep_k_frames=10,
+        nms_iou=float(opt.get("nms_threshold", 0.1)),
+        dist_threshold_tracking=float(fc.get("dist_treshold_tracking", 10.0)),
+        fit=FitConfig(
+            dx_min=float(opt.get("opt_param1_min", -2.0)),
+            dx_max=float(opt.get("opt_param1_max", 2.0)),
+            dz_min=float(opt.get("opt_param2_min", -1.0)),
+            dz_max=float(opt.get("opt_param2_max", 3.0)),
+            n_dx=int(opt.get("opt_param1_iters", 40)),
+            n_dz=int(opt.get("opt_param2_iters", 40)),
+            n_theta=int(opt.get("opt_param3_iters", 40)),
+            radius=float(lf.get("binary_loss_threshold", 0.2))),
+        skip_non_visible=bool(opt.get("skip_non_visible_cars", True)),
+    )
+
+
+class KittiObjectDriver:
+    """Drives the KITTI object-detection layout: training/image_2 + calib,
+    with caches under merged_frames_path (lidar_raw/, masks_raw/,
+    transformations/) and outputs under labels_path."""
+
+    def __init__(self, cfg: Config, flags: PipelineFlags):
+        self.cfg = cfg
+        self.flags = flags
+        paths = cfg.paths or Config({})
+        self.kitti_path = paths.get("kitti_path", ".")
+        self.cache = paths.get("merged_frames_path", "./cache")
+        self.labels_path = paths.get("labels_path", "./labels")
+        self.pcfg = pipeline_config_from(cfg)
+
+    # cache directories (output.py:127-172 taxonomy)
+    @property
+    def pcd_dir(self):
+        return os.path.join(self.cache, "lidar_raw")
+
+    @property
+    def masks_dir(self):
+        return os.path.join(self.cache, "masks_raw")
+
+    @property
+    def transforms_dir(self):
+        return os.path.join(self.cache, "transformations")
+
+    def frame_ids(self) -> List[str]:
+        img_dir = os.path.join(self.kitti_path, "training", "image_2")
+        ids = sorted(os.path.splitext(f)[0] for f in os.listdir(img_dir))
+        return ids
+
+    def run(self, seq_start: Optional[int], seq_end: Optional[int]) -> int:
+        ids = self.frame_ids()
+        lo = seq_start or 0
+        hi = min(seq_end if seq_end is not None else len(ids), len(ids))
+        ids = ids[lo:hi]
+        n_done = 0
+        if self.flags.do_optim:
+            labeler = PseudoLabeler(self.pcfg)
+            for fid in ids:
+                n_done += self._optimize_frame(labeler, fid)
+        elif self.flags.generate_transformations_only:
+            for fid in ids:
+                n_done += self._transforms_frame(fid)
+        else:
+            raise NotImplementedError(
+                f"action {self.flags.action!r} requires the external "
+                "depth/segmentation backends; run with cached artifacts or "
+                "see monosowa_tpu.sowa.depth / masks for the interfaces")
+        return n_done
+
+    def _calib(self, fid: str):
+        from monosowa_tpu.kittiio import Calibration
+        return Calibration(os.path.join(self.kitti_path, "training",
+                                        "calib", f"{fid}.txt"))
+
+    def _transforms_frame(self, fid: str) -> int:
+        out = transforms_mod.transforms_cache_path(self.transforms_dir, fid)
+        if os.path.exists(out):
+            return 0
+        # KITTI object frames are single shots; raw-sequence OXTS chains
+        # come through tools/kitti_raw_transforms.py.  Identity window here.
+        rng = int((self.cfg.frames_creation or Config({}))
+                  .get("nscans_transformation_range", 130))
+        t = np.tile(np.eye(4), (2 * rng + 1, 1, 1))
+        transforms_mod.save_window_transforms(self.transforms_dir, fid, t)
+        return 1
+
+    def _optimize_frame(self, labeler: PseudoLabeler, fid: str) -> int:
+        out = os.path.join(self.labels_path, f"{fid}.txt")
+        if os.path.exists(out):
+            return 0
+        calib = self._calib(fid)
+        full = transforms_mod.load_window_transforms(self.transforms_dir, fid)
+        before, after = self.pcfg.nscans_before, self.pcfg.nscans_after
+        if full is None:
+            transforms = np.tile(np.eye(4), (before + after + 1, 1, 1))
+        else:
+            rng = (full.shape[0] - 1) // 2
+            transforms = transforms_mod.slice_window(full, rng, before, after)
+        window = list(range(-before, after + 1))
+
+        seq_pcds = os.path.join(self.pcd_dir, fid, "pcds")
+
+        def get_points(k):
+            # window frame ids for object-layout data: only the ref frame
+            # exists unless a sequence cache was generated
+            path = os.path.join(seq_pcds, f"{window[k]:+d}.npz")
+            if not os.path.exists(path) and window[k] == 0:
+                path = os.path.join(self.pcd_dir, f"{fid}.npz")
+            return depth_mod.load_pseudo_lidar(path)
+
+        def get_masks(k):
+            name = fid if window[k] == 0 else f"{fid}{window[k]:+d}"
+            return masks_mod.load_masks(self.masks_dir, name)
+
+        img_hw = self._image_hw(fid)
+        labeler.label_and_write(out, window, before, get_points, get_masks,
+                                transforms, calib.P2, img_hw)
+        return 1
+
+    def _image_hw(self, fid: str):
+        from PIL import Image
+        p = os.path.join(self.kitti_path, "training", "image_2", f"{fid}.png")
+        if os.path.exists(p):
+            with Image.open(p) as im:
+                return im.size[1], im.size[0]
+        return (375, 1242)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = parse_args(argv)
+    cfg = load_config(args.config)
+    flags = PipelineFlags(args.action)
+    t0 = time.time()
+    if args.dataset in ("kitti", "all", "waymo_converted", "kitti360"):
+        driver = KittiObjectDriver(cfg, flags)
+        n = driver.run(args.seq_start, args.seq_end)
+    else:
+        raise NotImplementedError(
+            "raw waymo ingestion runs through tools/waymo_to_kitti_projected"
+            ".py first, then --dataset waymo_converted")
+    print(f"[{args.action}] processed {n} frames in {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
