@@ -80,14 +80,16 @@ def voxel_downsample_mask(pts: jnp.ndarray, mask: jnp.ndarray,
     (filtering.py:151-153); representative choice differs (first vs centroid)
     which downstream statistics tolerate.
     """
-    key = jnp.floor(pts / voxel).astype(jnp.int64)
-    # hash voxel coords; collisions astronomically unlikely for car-scale sets
+    key = jnp.floor(pts / voxel).astype(jnp.int32)
+    # int32 spatial hash (wrap-around ok; collisions vanishingly rare for
+    # car-scale sets); invalid rows sort last via lexsort on (~mask, h)
     h = (key[:, 0] * 73856093) ^ (key[:, 1] * 19349663) ^ (key[:, 2] * 83492791)
-    h = jnp.where(mask, h, jnp.arange(h.shape[0]) + (1 << 40))
-    order = jnp.argsort(h)
+    order = jnp.lexsort((h, (~mask).astype(jnp.int32)))
     sorted_h = h[order]
+    sorted_valid = mask[order]
     first = jnp.concatenate([jnp.array([True]),
-                             sorted_h[1:] != sorted_h[:-1]])
+                             (sorted_h[1:] != sorted_h[:-1])
+                             | (~sorted_valid[:-1])])
     keep_sorted = jnp.zeros_like(mask).at[order].set(first)
     return keep_sorted & mask
 
