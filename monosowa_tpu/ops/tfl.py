@@ -189,6 +189,29 @@ def build_template_field(template_pts: np.ndarray,
 # Fused coarse grid evaluation
 # ---------------------------------------------------------------------------
 
+def _sample_membership_xyz(field_flat: jnp.ndarray, spec: FieldSpec,
+                           x: jnp.ndarray, y: jnp.ndarray, z: jnp.ndarray
+                           ) -> jnp.ndarray:
+    """Component-wise membership lookup.
+
+    TPU layout note: coordinates arrive as separate (..., N) planes so every
+    tensor's minor dimension is the (128-aligned) point axis — a packed
+    (..., N, 3) layout would pad the size-3 minor dim toward the 128-lane
+    register width and blow memory/bandwidth ~40x (measured 64x slowdown).
+    """
+    ox, oy, oz = spec.origin
+    inv = 1.0 / spec.voxel
+    ix = jnp.floor((x - ox) * inv).astype(jnp.int32)
+    iy = jnp.floor((y - oy) * inv).astype(jnp.int32)
+    iz = jnp.floor((z - oz) * inv).astype(jnp.int32)
+    sx, sy, sz = spec.shape
+    inb = ((ix >= 0) & (ix < sx) & (iy >= 0) & (iy < sy)
+           & (iz >= 0) & (iz < sz))
+    flat = (jnp.clip(ix, 0, sx - 1) * (sy * sz)
+            + jnp.clip(iy, 0, sy - 1) * sz + jnp.clip(iz, 0, sz - 1))
+    return jnp.where(inb, jnp.take(field_flat, flat, axis=0), 0)
+
+
 @partial(jax.jit, static_argnames=("radius", "car_spec", "tmpl_spec"))
 def grid_pose_losses(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
                      template: jnp.ndarray, template_field: jnp.ndarray,
@@ -202,24 +225,36 @@ def grid_pose_losses(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
     template: (T, 3) canonical; template_field: flat int8 field of the same
     template; thetas: (NT,); trans: (P, 3) translations (dy usually 0).
     Returns losses (NT, P) = -(t_frac + s_frac).
+
+    All per-pose tensors are component-planes (P, N) — see
+    ``_sample_membership_xyz`` for why.
     """
     scan_field = build_membership_field(scan_local, scan_mask, car_spec, radius)
     n_scan = jnp.maximum(jnp.sum(scan_mask), 1).astype(jnp.float32)
 
+    px, py, pz = template[:, 0], template[:, 1], template[:, 2]     # (T,)
+    sx_, sy_, sz_ = scan_local[:, 0], scan_local[:, 1], scan_local[:, 2]
+    tx, ty, tz = trans[:, 0:1], trans[:, 1:2], trans[:, 2:3]        # (P, 1)
+    maskf = scan_mask.astype(jnp.float32)
+
     def per_theta(theta):
         c, s = jnp.cos(theta), jnp.sin(theta)
-        rot = jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
-        # posed template coordinates (row-vector convention: p @ R.T)
-        t_rot = template @ rot.T                                  # (T, 3)
-        posed = t_rot[None, :, :] + trans[:, None, :]             # (P, T, 3)
-        t_hits = sample_membership(scan_field, car_spec, posed)   # (P, T)
+        # posed template: R_y @ p + t  (rows: x' = c x + s z; z' = -s x + c z)
+        rx = c * px + s * pz                                        # (T,)
+        rz = -s * px + c * pz
+        t_hits = _sample_membership_xyz(
+            scan_field, car_spec, rx[None, :] + tx, py[None, :] + ty,
+            rz[None, :] + tz)                                       # (P, T)
         t_frac = jnp.mean(t_hits.astype(jnp.float32), axis=-1)
-        # scan membership in the template's canonical frame:
-        # q = R^T (s - t)  ==  (s - t) @ R  for row vectors
-        q = (scan_local[None, :, :] - trans[:, None, :]) @ rot    # (P, S, 3)
-        s_hits = sample_membership(template_field, tmpl_spec, q)  # (P, S)
-        s_hits = s_hits.astype(jnp.float32) * scan_mask[None, :]
-        s_frac = jnp.sum(s_hits, axis=-1) / n_scan
+        # scan -> canonical frame: q = R^T (s - t)
+        dx = sx_[None, :] - tx                                      # (P, S)
+        dz = sz_[None, :] - tz
+        qx = c * dx - s * dz
+        qz = s * dx + c * dz
+        s_hits = _sample_membership_xyz(
+            template_field, tmpl_spec, qx, sy_[None, :] - ty, qz)   # (P, S)
+        s_frac = jnp.sum(s_hits.astype(jnp.float32) * maskf[None, :],
+                         axis=-1) / n_scan
         return -(t_frac + s_frac)
 
     return jax.lax.map(per_theta, thetas)  # (NT, P)

@@ -1,0 +1,195 @@
+#!/usr/bin/env python
+"""Detector training / evaluation driver.
+
+CLI contract (MonoDETR/tools/train_val.py:36-122): ``--config <yaml>``
+(reference-format monodetr.yaml) and ``-e/--evaluate_only``; seeds,
+dataloader/model/optimizer/scheduler construction, epoch loop with
+per-epoch checkpoints and periodic evaluation, best-by-Car-moderate-AP
+tracking.
+
+TPU execution: the jitted data-parallel train step from
+monosowa_tpu.train.trainer over the global device mesh; host-side numpy
+dataloading (threaded prefetch); orbax checkpoints.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("monosowa-tpu detector train/val")
+    p.add_argument("--config", required=True)
+    p.add_argument("-e", "--evaluate_only", action="store_true")
+    p.add_argument("--ckpt", default=None, help="checkpoint to evaluate")
+    return p.parse_args(argv)
+
+
+def build_loader(ds, batch_size, shuffle, seed=444):
+    from monosowa_tpu.data.kitti_dataset import collate
+
+    rng = np.random.default_rng(seed)
+
+    def epoch_iter():
+        order = np.arange(len(ds))
+        if shuffle:
+            rng.shuffle(order)
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            yield collate([ds[int(j)] for j in order[i:i + batch_size]])
+
+    return epoch_iter
+
+
+def evaluate(model, state, val_ds, cfg, logger=print):
+    import jax.numpy as jnp
+
+    from monosowa_tpu.data.kitti_dataset import CLS_MEAN_SIZE
+    from monosowa_tpu.evalkitti import (annos_from_label_dir,
+                                        get_official_eval_result)
+    from monosowa_tpu.evalkitti.eval import anno_from_label_file
+    from monosowa_tpu.kittiio.labels import write_detection_file
+    from monosowa_tpu.train.decode import decode_detections
+    from monosowa_tpu.train.trainer import make_eval_step
+
+    tester_cfg = cfg.get("tester", {})
+    threshold = float(tester_cfg.get("threshold", 0.2))
+    out_dir = os.path.join(cfg["trainer"].get("save_path", "outputs"),
+                           "outputs", "data")
+    os.makedirs(out_dir, exist_ok=True)
+    eval_step = make_eval_step(model, topk=int(tester_cfg.get("topk", 50)))
+
+    batch_size = int(cfg["dataset"].get("batch_size", 16))
+    loader = build_loader(val_ds, batch_size, shuffle=False)
+    mean_size = (CLS_MEAN_SIZE if cfg["dataset"].get("meanshape", False)
+                 else np.zeros((3, 3), np.float32))
+    class_names = ["Pedestrian", "Car", "Cyclist"]
+
+    n = 0
+    t0 = time.time()
+    for batch in loader():
+        dets = np.asarray(eval_step(state, {
+            k: jnp.asarray(v) for k, v in batch.items()
+            if k in ("image", "calib", "img_size")}))
+        infos = {"img_size": batch["img_size"],
+                 "img_id": batch["img_id"],
+                 "canonical_scale": batch["canonical_scale"],
+                 "height_crop": batch["height_crop"]}
+        from monosowa_tpu.kittiio import Calibration
+        calibs = [Calibration({"P2": batch["calib"][i]})
+                  for i in range(len(batch["img_id"]))]
+        results = decode_detections(dets, infos, calibs, mean_size, threshold)
+        for img_id, rows in results.items():
+            write_detection_file(
+                os.path.join(out_dir, f"{img_id:06d}.txt"), rows,
+                class_names)
+        n += len(batch["img_id"])
+    logger(f"inference on {n} images, {(time.time() - t0) / max(n, 1):.3f}"
+           " s/img")
+
+    gt_dir = os.path.join(cfg["dataset"]["root_dir"], "training", "label_2")
+    ids = [f"{int(i):06d}" for i in val_ds.idx_list]
+    gt = annos_from_label_dir(gt_dir, ids)
+    dt = [anno_from_label_file(os.path.join(out_dir, f"{i}.txt"))
+          for i in ids]
+    res = get_official_eval_result(gt, dt, current_classes=(0,))
+    for k, v in res.items():
+        logger(f"{k}: AP40 {['%.2f' % a for a in v['ap40']]}")
+    return res
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import jax
+
+    from monosowa_tpu.config import load_yaml
+    from monosowa_tpu.data.kitti_dataset import KittiDetectionDataset
+    from monosowa_tpu.models.monodetr import build_monodetr
+    from monosowa_tpu.parallel import make_mesh, replicated_sharding, shard_batch
+    from monosowa_tpu.train import checkpoint as ckpt
+    from monosowa_tpu.train.optim import make_optimizer
+    from monosowa_tpu.train.trainer import init_state, make_train_step
+
+    cfg = load_yaml(args.config)
+    np.random.seed(int(cfg.get("random_seed", 444)))
+
+    ds_cfg = dict(cfg["dataset"])
+    root = ds_cfg["root_dir"]
+    train_ds = KittiDetectionDataset(root, ds_cfg.get("train_split", "train"),
+                                     ds_cfg)
+    val_ds = KittiDetectionDataset(root, ds_cfg.get("test_split", "val"),
+                                   ds_cfg)
+
+    model = build_monodetr(cfg["model"])
+    batch_size = int(ds_cfg.get("batch_size", 16))
+    steps_per_epoch = max(len(train_ds) // batch_size, 1)
+
+    opt_cfg = cfg.get("optimizer", {})
+    sch_cfg = cfg.get("lr_scheduler", {})
+    tx = make_optimizer(
+        base_lr=float(opt_cfg.get("lr", 2e-4)),
+        weight_decay=float(opt_cfg.get("weight_decay", 1e-4)),
+        steps_per_epoch=steps_per_epoch,
+        decay_epochs=tuple(sch_cfg.get("decay_list", (125, 165))),
+        decay_rate=float(sch_cfg.get("decay_rate", 0.1)),
+        warmup_epochs=5 if sch_cfg.get("warmup", False) else 0)
+
+    sample = train_ds[0]
+    from monosowa_tpu.data.kitti_dataset import collate
+    state = init_state(model, tx, collate([sample]))
+
+    save_path = cfg["trainer"].get("save_path", "outputs")
+    os.makedirs(save_path, exist_ok=True)
+    start_epoch = 0
+    resume = args.ckpt or (ckpt.latest_checkpoint(save_path)
+                           if cfg.get("continue_train", False) else None)
+    if resume:
+        state, start_epoch = ckpt.restore_checkpoint(resume, state)
+        print(f"resumed from {resume} (epoch {start_epoch})")
+
+    if args.evaluate_only:
+        evaluate(model, state, val_ds, cfg)
+        return
+
+    mesh = make_mesh(("data",))
+    state = jax.device_put(state, replicated_sharding(mesh))
+    train_step = make_train_step(model)
+    loader = build_loader(train_ds, batch_size, shuffle=True)
+    max_epoch = int(cfg["trainer"].get("max_epoch", 195))
+    save_freq = int(cfg["trainer"].get("save_frequency", 1))
+    best_ap = -1.0
+
+    key = jax.random.PRNGKey(int(cfg.get("random_seed", 444)))
+    for epoch in range(start_epoch, max_epoch):
+        t0 = time.time()
+        losses = {}
+        for i, batch in enumerate(loader()):
+            key, sub = jax.random.split(key)
+            batch = shard_batch({k: np.asarray(v) for k, v in batch.items()
+                                 if k != "objects"}, mesh)
+            state, losses = train_step(state, batch, sub)
+            if i % 30 == 0:
+                msg = " ".join(f"{k}={float(v):.3f}"
+                               for k, v in sorted(losses.items())
+                               if not k[-1].isdigit())
+                print(f"epoch {epoch} step {i}/{steps_per_epoch}: {msg}")
+        print(f"epoch {epoch} done in {time.time() - t0:.0f}s")
+        if (epoch + 1) % save_freq == 0:
+            ckpt.save_checkpoint(save_path, state, epoch + 1)
+            res = evaluate(model, state, val_ds, cfg)
+            ap_mod = res.get("car_3d_strict", {}).get("ap40", [0, 0, 0])[1]
+            if ap_mod > best_ap:
+                best_ap = ap_mod
+                ckpt.save_checkpoint(save_path, state, epoch + 1,
+                                     best_ap=best_ap, tag="best")
+
+
+if __name__ == "__main__":
+    main()
