@@ -333,6 +333,9 @@ def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
 
 
 def _overlaps(gt_annos, dt_annos, metric):
+    from monosowa_tpu.evalkitti import native
+
+    use_native = native.available()
     out = []
     for gt, dt in zip(gt_annos, dt_annos):
         if metric == 0:
@@ -344,13 +347,15 @@ def _overlaps(gt_annos, dt_annos, metric):
             gt_b = np.concatenate([gt["location"][:, [0, 2]],
                                    gt["dimensions"][:, [0, 2]],
                                    gt["rotation_y"][:, None]], 1)
-            ov = bev_box_overlap(dt_b, gt_b)
+            ov = (native.rotated_overlap(dt_b, gt_b) if use_native
+                  else bev_box_overlap(dt_b, gt_b))
         else:
             dt_b = np.concatenate([dt["location"], dt["dimensions"],
                                    dt["rotation_y"][:, None]], 1)
             gt_b = np.concatenate([gt["location"], gt["dimensions"],
                                    gt["rotation_y"][:, None]], 1)
-            ov = d3_box_overlap(dt_b, gt_b)
+            ov = (native.d3_overlap(dt_b, gt_b) if use_native
+                  else d3_box_overlap(dt_b, gt_b))
         out.append(ov.astype(np.float64))
     return out
 
@@ -362,6 +367,11 @@ def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
 
     Returns dict with precision/recall/aos arrays of length num_sample_pts.
     """
+    from monosowa_tpu.evalkitti import native
+
+    use_native = native.available()
+    stats_fn = native.compute_statistics if use_native else compute_statistics
+
     overlaps = _overlaps(gt_annos, dt_annos, metric)
     (gt_datas, dt_datas, ignored_gts, ignored_dets, dontcares, _,
      total_num_valid_gt) = _prepare_data(gt_annos, dt_annos, current_class,
@@ -369,7 +379,7 @@ def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
     # pass 1: collect tp scores
     all_thresholds = []
     for k in range(len(gt_annos)):
-        _, _, _, _, th = compute_statistics(
+        _, _, _, _, th = stats_fn(
             overlaps[k], gt_datas[k], dt_datas[k], ignored_gts[k],
             ignored_dets[k], dontcares[k], metric, min_overlap,
             compute_fp=False)
@@ -383,6 +393,12 @@ def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
                                          num_sample_pts))
     pr = np.zeros((len(thresholds), 4))
     for k in range(len(gt_annos)):
+        if use_native:
+            native.accumulate_pr(
+                overlaps[k], gt_datas[k], dt_datas[k], ignored_gts[k],
+                ignored_dets[k], dontcares[k], metric, min_overlap,
+                thresholds, compute_aos, pr)
+            continue
         for t, th in enumerate(thresholds):
             tp, fp, fn, sim, _ = compute_statistics(
                 overlaps[k], gt_datas[k], dt_datas[k], ignored_gts[k],
