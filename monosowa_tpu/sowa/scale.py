@@ -1,0 +1,209 @@
+"""Scale detector: template/size grid search + bbox reducer.
+
+Behavioral contract (pseudo_label_generator/3d/scripts/optimizer.py:179-290
+optimize_scale and scale_detector.py:14-259):
+
+* second grid search over 4 template models x 8 length scales
+  (x optional 8 width scales) x 10x10 translations whose ranges are
+  modulated by |cos/sin theta| (optimizer.py:204-209), height scale fixed
+  from the point y-extent clipped to [0.75, 1.25]; then an 8x20
+  height-scale x shift pass (optimizer.py:259-290);
+* ``bbox_reducer``: gather points inside the fitted box bloated by
+  width_bloat/0.4 (scale_detector.py:150-175), shrink to the axis-aligned
+  extent of contained points in the box frame, +0.1 m length offset,
+  falling back to template dims when the reduced length deviates beyond
+  [max_length_diff_scale, 1.1] x the fitted length (:223-240).
+
+TPU design: the whole scale grid is one vmapped exact-TFL evaluation
+(chunked); the template bank is pre-posed per (model, length, width) so
+poses share the MXU distance matrices.  Off by default
+(use_scale_detector False, configs/config.yaml:90) like the reference.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monosowa_tpu.ops import tfl
+from monosowa_tpu.ops.geometry import rot_y, points_in_obb
+
+BIG = 1e9
+
+
+@dataclasses.dataclass(frozen=True)
+class ScaleConfig:
+    scale_min: float = 0.75
+    scale_max: float = 1.25
+    n_scale: int = 8            # scale_num_scale_iters
+    n_width: int = 8            # width_num_scale_iters
+    n_trans: int = 10           # opt_param{1,2}_scale_iters
+    independent_width: bool = False
+    num_templates: int = 4
+    radius: float = 0.2
+    template_length: float = 3.88
+    template_width: float = 1.63
+    template_height: float = 1.526
+    height_n: int = 8
+    height_trans_n: int = 20
+    chunk: int = 64
+
+
+class ScaleResult(NamedTuple):
+    template_index: jnp.ndarray
+    length: jnp.ndarray
+    width: jnp.ndarray
+    height: jnp.ndarray
+    x: jnp.ndarray
+    y: jnp.ndarray
+    z: jnp.ndarray
+    theta: jnp.ndarray
+    loss: jnp.ndarray
+
+
+def _chunked_losses(scan, scan_mask, posed, radius, chunk):
+    n = posed.shape[0]
+    pad = (-n) % chunk
+    posed_p = jnp.concatenate(
+        [posed, jnp.full((pad,) + posed.shape[1:], BIG, posed.dtype)], 0)
+    losses = jax.lax.map(
+        lambda batch: tfl.binary_both_way_loss(scan, scan_mask, batch, radius),
+        posed_p.reshape(-1, chunk, posed.shape[1], 3))
+    return losses.reshape(-1)[:n]
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def optimize_scale(scan: jnp.ndarray, scan_mask: jnp.ndarray,
+                   templates: jnp.ndarray, base_pose: jnp.ndarray,
+                   cfg: ScaleConfig = ScaleConfig()) -> ScaleResult:
+    """scan (S, 3) camera coords; templates (4, T, 3) canonical;
+    base_pose = [x, y, z, theta] from the main fit."""
+    x0, y0, z0, theta = base_pose[0], base_pose[1], base_pose[2], base_pose[3]
+
+    # height scale from the point extent (optimizer.py:196-201)
+    ys = jnp.where(scan_mask, scan[:, 1], BIG)
+    y_ext = (jnp.max(jnp.where(scan_mask, scan[:, 1], -BIG)) - jnp.min(ys))
+    h_scale = jnp.clip(y_ext / cfg.template_height, 0.75, 1.25)
+
+    # translation ranges modulated by theta (optimizer.py:204-207)
+    amp = jnp.abs(jnp.cos(theta) + jnp.sin(theta))
+    t1 = jnp.linspace(-amp, amp, cfg.n_trans)
+    t2 = jnp.linspace(-amp, amp, cfg.n_trans)
+    scales = np.linspace(cfg.scale_min, cfg.scale_max, cfg.n_scale)
+    widths = (np.linspace(cfg.scale_min, cfg.scale_max, cfg.n_width)
+              if cfg.independent_width else np.array([1.0]))
+
+    # pose table: (template, l_scale, w_scale, t1, t2)
+    ti, li, wi, ai, bi = np.meshgrid(
+        np.arange(cfg.num_templates), np.arange(len(scales)),
+        np.arange(len(widths)), np.arange(cfg.n_trans),
+        np.arange(cfg.n_trans), indexing="ij")
+    ti = jnp.asarray(ti.reshape(-1))
+    li = jnp.asarray(li.reshape(-1))
+    wi = jnp.asarray(wi.reshape(-1))
+    ai = jnp.asarray(ai.reshape(-1))
+    bi = jnp.asarray(bi.reshape(-1))
+
+    rot = rot_y(theta)
+    sl = jnp.asarray(scales)[li]
+    sw = jnp.where(cfg.independent_width, jnp.asarray(widths)[wi], sl)
+
+    def pose_points(k):
+        tpl = templates[ti[k]]
+        scaled = tpl * jnp.stack([sw[k], h_scale, sl[k]])
+        posed = scaled @ rot.T
+        off = jnp.stack([t1[ai[k]] + x0, y0, t2[bi[k]] + z0])
+        return posed + off
+
+    posed_all = jax.lax.map(pose_points, jnp.arange(ti.shape[0]))
+    losses = _chunked_losses(scan, scan_mask, posed_all, cfg.radius,
+                             cfg.chunk)
+    best = jnp.argmin(losses)
+    bt = ti[best]
+    bl = sl[best]
+    bw = sw[best]
+    bx = t1[ai[best]] + x0
+    bz = t2[bi[best]] + z0
+
+    # second pass: height scale x y-shift (optimizer.py:259-290)
+    h_scales = jnp.linspace(cfg.scale_min, cfg.scale_max, cfg.height_n)
+    y_shifts = jnp.linspace(-amp, amp, cfg.height_trans_n)
+    hi, yi = jnp.meshgrid(jnp.arange(cfg.height_n),
+                          jnp.arange(cfg.height_trans_n), indexing="ij")
+    hi, yi = hi.reshape(-1), yi.reshape(-1)
+
+    def pose_points2(k):
+        tpl = templates[bt]
+        scaled = tpl * jnp.stack([bw, h_scales[hi[k]], bl])
+        posed = scaled @ rot.T
+        off = jnp.stack([bx, y_shifts[yi[k]] + y0, bz])
+        return posed + off
+
+    posed2 = jax.lax.map(pose_points2, jnp.arange(hi.shape[0]))
+    losses2 = _chunked_losses(scan, scan_mask, posed2, cfg.radius, cfg.chunk)
+    best2 = jnp.argmin(losses2)
+
+    return ScaleResult(
+        template_index=bt,
+        length=bl * cfg.template_length,
+        width=bw * cfg.template_width,
+        height=h_scales[hi[best2]] * cfg.template_height,
+        x=bx, y=y_shifts[yi[best2]] + y0, z=bz, theta=theta,
+        loss=losses2[best2])
+
+
+@partial(jax.jit, static_argnames=("width_bloat", "length_offset",
+                                   "max_length_diff", "template_dims"))
+def bbox_reduce(scan: jnp.ndarray, scan_mask: jnp.ndarray,
+                center: jnp.ndarray, lwh: jnp.ndarray, theta: jnp.ndarray,
+                width_bloat: float = 0.5, length_offset: float = 0.1,
+                max_length_diff: float = 0.75,
+                template_dims: tuple = (3.88, 1.63, 1.526)):
+    """Shrink a fitted box to the axis-aligned extent of contained points.
+
+    Returns (center', lwh', used_reduction flag).  scan in camera coords.
+    """
+    # bloated gather box (scale_detector.py:152-158): widen in x by
+    # |cos theta|*bloat, in z by |sin theta|*bloat, y by 0.4 shifted up
+    bloat = jnp.stack([jnp.abs(jnp.cos(theta)) * width_bloat + lwh[0],
+                       width_bloat * jnp.abs(jnp.sin(theta)) + lwh[1],
+                       0.4 + lwh[2]])
+    gather_center = center + jnp.stack([0.0, -0.4, 0.0])
+    # our points_in_obb takes lwh ordering (l, w, h)
+    inside = points_in_obb(scan, gather_center,
+                           jnp.stack([bloat[0], bloat[1], bloat[2]]),
+                           theta) & scan_mask
+
+    local = (scan - gather_center) @ rot_y(theta)
+    lx = jnp.where(inside, local[:, 0], BIG)
+    lz = jnp.where(inside, local[:, 2], BIG)
+    x_min = jnp.min(lx)
+    x_max = jnp.max(jnp.where(inside, local[:, 0], -BIG))
+    z_min = jnp.min(lz)
+    z_max = jnp.max(jnp.where(inside, local[:, 2], -BIG))
+    ly = jnp.where(inside, local[:, 1], BIG)
+    y_min = jnp.min(ly)
+    y_max = jnp.max(jnp.where(inside, local[:, 1], -BIG))
+
+    new_len = x_max - x_min
+    new_h = y_max - y_min
+    # recenter along the length axis only (scale_detector.py:178-184 zeroes
+    # the cross-axis shift)
+    shift_local = jnp.stack([(x_max + x_min) / 2, jnp.float32(0.0),
+                             jnp.float32(0.0)])
+    new_center = gather_center + rot_y(theta) @ shift_local \
+        + jnp.stack([0.0, 0.4, 0.0])
+
+    ratio = new_len / jnp.maximum(lwh[0], 1e-6)
+    ok = (ratio >= max_length_diff) & (ratio <= 1.1) & jnp.any(inside)
+    tl, tw, th = template_dims
+    out_center = jnp.where(ok, new_center, center)
+    out_lwh = jnp.where(ok,
+                        jnp.stack([new_len + length_offset, lwh[1], new_h]),
+                        jnp.asarray([tl, tw, th]))
+    return out_center, out_lwh, ok
