@@ -39,14 +39,23 @@ BIG = 1e9
 # ---------------------------------------------------------------------------
 
 def pairwise_sq_dists(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """(..., N, 3) x (..., M, 3) -> (..., N, M) squared Euclidean distances.
+    """(..., N, K) x (..., M, K) -> (..., N, M) squared Euclidean distances.
 
-    The cross term is a matmul (MXU); the result is clamped at 0 against
-    cancellation error."""
+    For K <= 4 (3-D point clouds) the cross terms are component-wise outer
+    sums on the VPU: a K=3 matmul pads the contraction dim to the 128-wide
+    MXU (~40x wasted work) and, with HIGHEST precision, compiles
+    pathologically slowly on TPU.  Larger K uses the |a|^2+|b|^2-2ab matmul
+    form in full f32.
+    """
+    k = a.shape[-1]
+    if k <= 4:
+        d2 = jnp.zeros(a.shape[:-1] + (b.shape[-2],), a.dtype)
+        for i in range(k):
+            diff = a[..., :, None, i] - b[..., None, :, i]
+            d2 = d2 + diff * diff
+        return d2
     aa = jnp.sum(a * a, axis=-1)[..., :, None]
     bb = jnp.sum(b * b, axis=-1)[..., None, :]
-    # HIGHEST keeps the cross term in f32 on the MXU — membership thresholds
-    # (r^2 = 0.04) sit well below the bf16 default's error at ~10 m offsets.
     ab = jnp.matmul(a, b.swapaxes(-1, -2), precision=jax.lax.Precision.HIGHEST)
     return jnp.maximum(aa + bb - 2.0 * ab, 0.0)
 
