@@ -45,6 +45,12 @@ class PipelineConfig:
         default_factory=candidates.CandidateConfig)
     template_dims_lwh: tuple = (3.88, 1.63, 1.526)
     skip_non_visible: bool = True
+    # optional stages (reference flags in parentheses)
+    use_ensemble_filter: bool = False   # frames_creation.use_hdbscan
+    use_scale_detector: bool = False    # scale_detector.use_scale_detector
+    use_bbox_reducer: bool = True       # scale_detector.use_bbox_reducer
+    use_dimensions_estimation: bool = False
+    # optimization.use_dimensions_estimation_during_optim
 
 
 class PseudoLabeler:
@@ -89,6 +95,16 @@ class PseudoLabeler:
         if not kept:
             return []
 
+        if cfg.use_ensemble_filter:
+            from monosowa_tpu.sowa.filtering import ensemble_inlier_mask
+            filtered = []
+            for p in points:
+                pj = jnp.asarray(p)
+                keep_m = np.asarray(ensemble_inlier_mask(
+                    pj, jnp.ones(p.shape[0], bool)))
+                filtered.append(p[keep_m])
+            points = filtered
+
         batch = aggregation.build_car_batch(
             kept, points, window_frames, cfg.max_cars, cfg.max_points)
         res = fit_cars(batch, self.template, self.template_field, cfg.fit)
@@ -129,6 +145,39 @@ class PseudoLabeler:
                              float(sub_res.z[j])]
                 theta[t] = float(sub_res.theta[j])
 
+        # ---- optional per-car refinement (scale detector / reducer /
+        # dimension estimation — main_class.py dimensions_output path) ----
+        per_car_lwh = lwh.copy()
+        if cfg.use_scale_detector or cfg.use_dimensions_estimation:
+            from monosowa_tpu.sowa import dimensions as dims_mod
+            from monosowa_tpu.sowa import scale as scale_mod
+            bank_pts = jnp.asarray(self.bank.points)
+            for i in range(n):
+                if not keep[i] or kept[i].moving:
+                    continue
+                pts_i = np.asarray(batch.points[i])
+                mask_i = np.asarray(batch.mask[i])
+                if cfg.use_scale_detector:
+                    sres = scale_mod.optimize_scale(
+                        jnp.asarray(pts_i), jnp.asarray(mask_i), bank_pts,
+                        jnp.asarray([center[i, 0], center[i, 1],
+                                     center[i, 2], theta[i]], jnp.float32))
+                    center[i] = [float(sres.x), float(sres.y), float(sres.z)]
+                    per_car_lwh[i] = [float(sres.length), float(sres.width),
+                                      float(sres.height)]
+                    if cfg.use_bbox_reducer:
+                        c2, lwh2, _ = scale_mod.bbox_reduce(
+                            jnp.asarray(pts_i), jnp.asarray(mask_i),
+                            jnp.asarray(center[i], jnp.float32),
+                            jnp.asarray(per_car_lwh[i], jnp.float32),
+                            jnp.float32(theta[i]))
+                        center[i] = np.asarray(c2)
+                        per_car_lwh[i] = np.asarray(lwh2)
+                elif cfg.use_dimensions_estimation:
+                    d, _ = dims_mod.estimate_car_dimensions(
+                        (pts_i - center[i])[None], mask_i[None], center[i])
+                    per_car_lwh[i] = d
+
         # ---- assemble output cars -------------------------------------
         cars = []
         for i in range(n):
@@ -137,10 +186,12 @@ class PseudoLabeler:
             mask = ref_masks[i]
             if mask is None and cfg.skip_non_visible:
                 continue
+            li, wi, hi = (float(per_car_lwh[i, 0]), float(per_car_lwh[i, 1]),
+                          float(per_car_lwh[i, 2]))
             cars.append({
                 "cls": "Car",
                 "box2d": mask_bbox(mask) if mask is not None else None,
-                "h": h, "w": w, "l": l,
+                "h": hi, "w": wi, "l": li,
                 "x": float(center[i, 0]), "y": float(center[i, 1]),
                 "z": float(center[i, 2]), "theta": float(theta[i]),
                 "moving": bool(kept[i].moving),
