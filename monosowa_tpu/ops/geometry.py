@@ -62,13 +62,16 @@ def masked_median(pts: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     Implemented as the midpoint of the sorted valid prefix so it works with
     padding (invalid entries sort to +inf)."""
     n = jnp.sum(mask)
-    big = jnp.where(mask[:, None], pts, BIG)
-    srt = jnp.sort(big, axis=0)
+    # sort along the point axis as the minor dim (TPU lane layout); a
+    # (N, 3) column sort pads the 3-wide minor dim to the lane width
+    big = jnp.where(mask[None, :], pts.T, BIG)          # (3, N)
+    srt = jnp.sort(big, axis=1)
     lo = jnp.maximum((n - 1) // 2, 0)
     hi = jnp.maximum(n // 2, 0)
-    med = (jnp.take_along_axis(srt, jnp.full((1, 3), lo, jnp.int32), axis=0)
-           + jnp.take_along_axis(srt, jnp.full((1, 3), hi, jnp.int32), axis=0)) / 2.0
-    return jnp.where(n > 0, med[0], jnp.zeros(3, pts.dtype))
+    med = (jnp.take_along_axis(srt, jnp.full((3, 1), lo, jnp.int32), axis=1)
+           + jnp.take_along_axis(srt, jnp.full((3, 1), hi, jnp.int32),
+                                 axis=1))[:, 0] / 2.0
+    return jnp.where(n > 0, med, jnp.zeros(3, pts.dtype))
 
 
 def voxel_downsample_mask(pts: jnp.ndarray, mask: jnp.ndarray,

@@ -115,6 +115,13 @@ class KittiObjectDriver:
         elif self.flags.generate_transformations_only:
             for fid in ids:
                 n_done += self._transforms_frame(fid)
+        elif self.flags.generate_candidates:
+            for fid in ids:
+                n_done += self._candidates_frame(fid)
+        elif self.flags.generate_merged_frames_only:
+            labeler = PseudoLabeler(self.pcfg)
+            for fid in ids:
+                n_done += self._merge_frame(labeler, fid)
         else:
             raise NotImplementedError(
                 f"action {self.flags.action!r} requires the external "
@@ -137,6 +144,92 @@ class KittiObjectDriver:
                   .get("nscans_transformation_range", 130))
         t = np.tile(np.eye(4), (2 * rng + 1, 1, 1))
         transforms_mod.save_window_transforms(self.transforms_dir, fid, t)
+        return 1
+
+    @property
+    def candidates_dir(self):
+        return os.path.join(self.cache, "candidates")
+
+    @property
+    def merged_dir(self):
+        return os.path.join(self.cache, "merged_cars")
+
+    def _window_accessors(self, fid: str):
+        from monosowa_tpu.kittiio import Calibration
+
+        before, after = self.pcfg.nscans_before, self.pcfg.nscans_after
+        window = list(range(-before, after + 1))
+        seq_pcds = os.path.join(self.pcd_dir, fid, "pcds")
+
+        def get_points(k):
+            path = os.path.join(seq_pcds, f"{window[k]:+d}.npz")
+            if not os.path.exists(path) and window[k] == 0:
+                path = os.path.join(self.pcd_dir, f"{fid}.npz")
+            return depth_mod.load_pseudo_lidar(path)
+
+        def get_masks(k):
+            name = fid if window[k] == 0 else f"{fid}{window[k]:+d}"
+            return masks_mod.load_masks(self.masks_dir, name)
+
+        full = transforms_mod.load_window_transforms(self.transforms_dir, fid)
+        if full is None:
+            transforms = np.tile(np.eye(4), (len(window), 1, 1))
+        else:
+            rng_full = (full.shape[0] - 1) // 2
+            transforms = transforms_mod.slice_window(full, rng_full, before,
+                                                     after)
+        return window, get_points, get_masks, transforms
+
+    def _candidates_frame(self, fid: str) -> int:
+        """`--action candidates`: extract + cache per-frame candidates
+        (loader.py:1535-1649 precompute path)."""
+        from monosowa_tpu.sowa import cache as cache_mod
+        from monosowa_tpu.sowa import candidates as cand_mod
+
+        if cache_mod.stage_done(self.candidates_dir, fid):
+            return 0
+        window, get_points, get_masks, transforms = self._window_accessors(fid)
+        calib = self._calib(fid)
+        img_hw = self._image_hw(fid)
+        ref_k = window.index(0)
+        pts = get_points(ref_k)
+        masks = get_masks(ref_k)
+        if pts is None or masks is None:
+            return 0
+        cand = cand_mod.extract_candidates(pts, calib.P2, img_hw, masks,
+                                           transforms[ref_k],
+                                           self.pcfg.candidate)
+        cache_mod.save_candidates(self.candidates_dir, fid, cand)
+        return 1
+
+    def _merge_frame(self, labeler: PseudoLabeler, fid: str) -> int:
+        """`--action frames_aggregation`: run candidates -> tracking ->
+        classification -> aggregation and cache the merged cars."""
+        from monosowa_tpu.sowa import aggregation, cache as cache_mod
+        from monosowa_tpu.sowa import candidates as cand_mod, lomm
+
+        if cache_mod.stage_done(self.merged_dir, fid):
+            return 0
+        window, get_points, get_masks, transforms = self._window_accessors(fid)
+        calib = self._calib(fid)
+        img_hw = self._image_hw(fid)
+        cands = []
+        for k in range(len(window)):
+            pts = get_points(k)
+            masks = get_masks(k)
+            if pts is None or masks is None or len(masks) == 0:
+                cands.append(None)
+                continue
+            cands.append(cand_mod.extract_candidates(
+                pts, calib.P2, img_hw, masks, transforms[k],
+                self.pcfg.candidate))
+        tracks = lomm.greedy_track(cands, window,
+                                   self.pcfg.dist_threshold_tracking)
+        lomm.classify_all(tracks, method=self.pcfg.moving_method)
+        kept, points, _ = aggregation.aggregate_tracks(
+            tracks, transforms, window, self.pcfg.keep_k_frames,
+            self.pcfg.min_standing_points)
+        cache_mod.save_merged_cars(self.merged_dir, fid, kept, points)
         return 1
 
     def _optimize_frame(self, labeler: PseudoLabeler, fid: str) -> int:
