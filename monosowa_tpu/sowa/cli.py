@@ -122,6 +122,9 @@ class KittiObjectDriver:
             labeler = PseudoLabeler(self.pcfg)
             for fid in ids:
                 n_done += self._merge_frame(labeler, fid)
+        elif self.flags.generate_raw_lidar:
+            for fid in ids:
+                n_done += self._lidar_frame(fid)
         else:
             raise NotImplementedError(
                 f"action {self.flags.action!r} requires the external "
@@ -179,6 +182,25 @@ class KittiObjectDriver:
             transforms = transforms_mod.slice_window(full, rng_full, before,
                                                      after)
         return window, get_points, get_masks, transforms
+
+    def _lidar_frame(self, fid: str) -> int:
+        """`--action lidar_scans`: depth map -> pseudo-lidar cache
+        (metric3d.py:39-279).  Cached-depth mode reads
+        <merged_frames_path>/depth_maps/<fid>.npz; a live Metric3D backend
+        plugs in via sowa.depth.TorchHubMetric3DBackend."""
+        out = os.path.join(self.pcd_dir, f"{fid}.npz")
+        if os.path.exists(out):
+            return 0
+        depth_dir = os.path.join(self.cache, "depth_maps")
+        backend = depth_mod.CachedDepthBackend(depth_dir)
+        dmap = backend.predict_depth_for(fid)
+        if dmap is None:
+            return 0
+        calib = self._calib(fid)
+        pts = depth_mod.pseudo_lidar_from_depth(dmap, calib.P2)
+        os.makedirs(self.pcd_dir, exist_ok=True)
+        np.savez_compressed(out, points=pts)
+        return 1
 
     def _candidates_frame(self, fid: str) -> int:
         """`--action candidates`: extract + cache per-frame candidates
