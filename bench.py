@@ -56,18 +56,27 @@ def main():
                      car_valid=jnp.ones(n_cars, bool))
     cfg = FitConfig()
 
+    import sys
+
     # compile + warmup
+    t0 = time.perf_counter()
     res = fit_cars(batch, template, tfield, cfg)
     jax.block_until_ready(res)
+    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
+          file=sys.stderr)
 
-    iters = 5
-    t0 = time.perf_counter()
+    iters = 20
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         res = fit_cars(batch, template, tfield, cfg)
         jax.block_until_ready(res)
-    dt = (time.perf_counter() - t0) / iters
+        times.append(time.perf_counter() - t0)
+    dt = float(np.median(times))
+    print(f"# per-iter times: min {min(times):.4f}s median {dt:.4f}s "
+          f"max {max(times):.4f}s", file=sys.stderr)
 
-    cars_per_sec = n_cars / dt
+    cars_per_sec = n_cars / max(dt, 1e-9)
     baseline_cars_per_sec = 1.0  # reference: ~1 car/s single CPU process
     print(json.dumps({
         "metric": "pseudo_label_fit_throughput",
