@@ -147,29 +147,71 @@ def _neighbor_offsets(radius: float, voxel: float) -> np.ndarray:
     return offs[keep].astype(np.int32)
 
 
+def _ball_kernel(radius: float, voxel: float) -> np.ndarray:
+    """Odd-sized (K, K, K) 0/1 mask of voxel offsets whose center-to-center
+    distance is within ``radius``."""
+    k = int(np.ceil(radius / voxel))
+    r = np.arange(-k, k + 1)
+    dx, dy, dz = np.meshgrid(r, r, r, indexing="ij")
+    d2 = (dx * dx + dy * dy + dz * dz) * voxel * voxel
+    return (d2 <= radius * radius).astype(np.float32)
+
+
+def occupancy_histogram(pts: jnp.ndarray, mask: jnp.ndarray,
+                        spec: FieldSpec) -> jnp.ndarray:
+    """(N, 3) points -> (X, Y, Z) per-voxel point counts, scatter-free.
+
+    TPU note: XLA lowers scatter to a SERIAL per-update loop on TPU (the
+    previous scatter-max field build cost ~3 s per car).  The histogram is
+    instead one MXU matmul of per-axis one-hot indicators:
+    C[x, (y,z)] = onehot_x (X, N) @ onehot_yz (N, Y*Z).
+    """
+    sx, sy, sz = spec.shape
+    origin = jnp.asarray(spec.origin)
+    idx = jnp.floor((pts - origin) / spec.voxel).astype(jnp.int32)   # (N, 3)
+    in_b = jnp.all((idx >= 0) & (idx < jnp.asarray(spec.shape)), axis=-1)
+    valid = in_b & mask
+    ix = jnp.where(valid, idx[:, 0], -1)
+    iyz = jnp.where(valid, idx[:, 1] * sz + idx[:, 2], -1)
+
+    ax = (ix[None, :] == jnp.arange(sx)[:, None]).astype(jnp.float32)
+    ayz = (iyz[:, None] == jnp.arange(sy * sz)[None, :]).astype(jnp.float32)
+    counts = jnp.matmul(ax, ayz, precision=jax.lax.Precision.DEFAULT)
+    return counts.reshape(sx, sy, sz)
+
+
 def build_membership_field(pts: jnp.ndarray, mask: jnp.ndarray,
                            spec: FieldSpec, radius: float) -> jnp.ndarray:
-    """int8 field[v] = 1 iff some valid point lies within ``radius`` of the
+    """int8 field[v] = 1 iff some valid point lies within ~``radius`` of the
     center of voxel v.  pts are in the field's local frame.
 
-    Scatter-max over precomputed neighbor offsets: exact membership (no
-    dilation approximation) because each candidate voxel's center-to-point
-    distance is tested explicitly.
+    Scatter-free: occupancy histogram (MXU matmul) dilated by the voxel
+    ball kernel (conv).  Membership quantizes the point to its voxel
+    center, so the test radius carries up to +-voxel*sqrt(3)/2 error on top
+    of the query-side quantization of ``sample_membership`` — bounded well
+    under the 0.2 m threshold at the default 0.08 m voxel, and the fine
+    pass re-scores poses exactly.
     """
-    offs = jnp.asarray(_neighbor_offsets(radius, spec.voxel))  # (K, 3)
-    origin = jnp.asarray(spec.origin)
-    base = jnp.floor((pts - origin) / spec.voxel).astype(jnp.int32)  # (N, 3)
-    idx = base[:, None, :] + offs[None, :, :]                        # (N, K, 3)
-    centers = origin + (idx.astype(jnp.float32) + 0.5) * spec.voxel
-    d2 = jnp.sum((centers - pts[:, None, :]) ** 2, axis=-1)          # (N, K)
-    shape = jnp.asarray(spec.shape)
-    in_bounds = jnp.all((idx >= 0) & (idx < shape), axis=-1)
-    val = (in_bounds & (d2 < radius * radius) & mask[:, None]).astype(jnp.int8)
-    cidx = jnp.clip(idx, 0, shape - 1)
-    flat = (cidx[..., 0] * (spec.shape[1] * spec.shape[2])
-            + cidx[..., 1] * spec.shape[2] + cidx[..., 2])
-    field = jnp.zeros(spec.flat_size, jnp.int8)
-    return field.at[flat.reshape(-1)].max(val.reshape(-1))
+    counts = occupancy_histogram(pts, mask, spec)
+    kern = _ball_kernel(radius, spec.voxel)
+    ksize = kern.shape[0]
+    # 3D dilation as ksize 2D convs over (x, z), shifting y
+    x, y, z = spec.shape
+    half = ksize // 2
+    acc = jnp.zeros((x, y, z))
+    img = jnp.transpose(counts, (1, 0, 2))[:, None, :, :]   # (Y, 1, X, Z)
+    for j in range(ksize):
+        dy = j - half
+        rolled = jnp.roll(img, -dy, axis=0)
+        if dy > 0:
+            rolled = rolled.at[y - dy:].set(0.0)
+        elif dy < 0:
+            rolled = rolled.at[:-dy].set(0.0)
+        k2d = jnp.asarray(kern[:, j, :])[None, None]        # (1, 1, K, K)
+        out = jax.lax.conv_general_dilated(
+            rolled, k2d, window_strides=(1, 1), padding="SAME")
+        acc = acc + jnp.transpose(out[:, 0], (1, 0, 2))
+    return (acc.reshape(-1) > 0.5).astype(jnp.int8)
 
 
 def sample_membership(field_flat: jnp.ndarray, spec: FieldSpec,
