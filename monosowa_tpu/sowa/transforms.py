@@ -84,3 +84,75 @@ def slice_window(transforms_full: np.ndarray, full_rng: int,
     window (the reference caches 130 and aggregates 30)."""
     c = full_rng
     return transforms_full[c - before:c + after + 1]
+
+
+def _interpolate_se3(t_a: np.ndarray, t_b: np.ndarray, alpha: float
+                     ) -> np.ndarray:
+    """Fractional rigid interpolation between two 4x4 transforms (axis-angle
+    slerp on rotation, linear on translation)."""
+    from scipy.spatial.transform import Rotation, Slerp
+
+    rots = Rotation.from_matrix(np.stack([t_a[:3, :3], t_b[:3, :3]]))
+    r = Slerp([0.0, 1.0], rots)([alpha]).as_matrix()[0]
+    out = np.eye(4)
+    out[:3, :3] = r
+    out[:3, 3] = (1 - alpha) * t_a[:3, 3] + alpha * t_b[:3, 3]
+    return out
+
+
+def icp_window_transforms(get_scan, ref: int, rng: int,
+                          n_frames: int, jump: int = 5,
+                          max_points: int = 4096,
+                          seed: int = 0) -> np.ndarray:
+    """ICP-refined ``T_cur_to_ref`` chain (use_icp branch,
+    loader.py:1016-1301 calculate_transformationsV2): pairwise
+    point-to-plane ICP every ``jump`` frames, chained outward from the
+    reference, with SE(3) interpolation of the intermediate frames.
+
+    get_scan(frame_idx) -> (N, 3) camera points or None.  Returns
+    (2*rng+1, 4, 4) window-packed transforms (zeros for missing frames).
+    """
+    import jax.numpy as jnp
+
+    from monosowa_tpu.ops.icp import icp_point_to_plane
+
+    rng_np = np.random.default_rng(seed)
+
+    def prep(pts):
+        if pts is None or len(pts) < 50:
+            return None
+        if len(pts) > max_points:
+            pts = pts[rng_np.choice(len(pts), max_points, replace=False)]
+        pad = np.zeros((max_points, 3), np.float32)
+        pad[:len(pts)] = pts
+        m = np.zeros(max_points, bool)
+        m[:len(pts)] = True
+        return jnp.asarray(pad), jnp.asarray(m)
+
+    rel = {ref: np.eye(4)}
+    for direction in (-1, 1):
+        chain = np.eye(4)
+        prev = ref
+        f = ref + direction * jump
+        while 0 <= f < n_frames and abs(f - ref) <= rng:
+            a = prep(get_scan(f))
+            b = prep(get_scan(prev))
+            if a is None or b is None:
+                break
+            t_pair, _ = icp_point_to_plane(a[0], a[1], b[0], b[1])
+            chain = chain @ np.asarray(t_pair)
+            rel[f] = chain.copy()
+            # interpolate the skipped frames between prev and f
+            prev_t = rel[prev]
+            for k in range(1, jump):
+                mid = prev + direction * k
+                if 0 <= mid < n_frames and abs(mid - ref) <= rng:
+                    rel[mid] = _interpolate_se3(prev_t, chain, k / jump)
+            prev = f
+            f += direction * jump
+
+    out = np.zeros((2 * rng + 1, 4, 4))
+    for k, fr in enumerate(range(ref - rng, ref + rng + 1)):
+        if fr in rel:
+            out[k] = rel[fr]
+    return out

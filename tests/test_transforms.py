@@ -1,0 +1,69 @@
+"""Transformation stage tests: window packing, pose sources, ICP chain."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from monosowa_tpu.ops.geometry import rot_y
+from monosowa_tpu.sowa import transforms as T
+
+
+def test_window_pack_and_slice():
+    rel = np.tile(np.eye(4), (10, 1, 1))
+    for i in range(10):
+        rel[i, 0, 3] = float(i)
+    out = T._window_pack(rel, ref=5, rng=3)
+    assert out.shape == (7, 4, 4)
+    assert out[3, 0, 3] == 5.0      # center = ref
+    assert out[0, 0, 3] == 2.0
+    sliced = T.slice_window(out, full_rng=3, before=1, after=1)
+    assert sliced.shape == (3, 4, 4)
+    assert sliced[1, 0, 3] == 5.0
+
+
+def test_pose_window_transforms_invalid_zeroed():
+    poses = np.tile(np.eye(4), (6, 1, 1))
+    poses[:, 2, 3] = np.arange(6) * 2.0
+    valid = np.array([True, True, False, True, True, True])
+    out = T.pose_window_transforms(poses, valid, ref=3, rng=2)
+    # invalid frame 2 -> zero matrix (loader.py:956-961 semantics)
+    assert np.all(out[1] == 0)
+    np.testing.assert_allclose(out[2], np.eye(4), atol=1e-12)
+    # frame 4 maps +2 in z relative to ref
+    assert out[3][2, 3] == pytest.approx(2.0)
+
+
+def test_kitti_window_transforms_shapes():
+    pkts = np.array([[49.0 + i * 1e-5, 8.43, 110.0, 0.0, 0.0, 0.5]
+                     for i in range(9)])
+    out = T.kitti_window_transforms(pkts, np.eye(4), ref=4, rng=3)
+    assert out.shape == (7, 4, 4)
+    np.testing.assert_allclose(out[3], np.eye(4), atol=1e-9)
+
+
+def test_icp_window_transforms_recovers_motion():
+    # scene points observed from a camera moving +0.4 z per frame
+    rng = np.random.default_rng(0)
+    plane = np.stack([rng.uniform(-5, 5, 400), np.full(400, 1.6),
+                      rng.uniform(2, 20, 400)], 1)
+    wall = np.stack([rng.uniform(-5, 5, 200), rng.uniform(0, 1.5, 200),
+                     np.full(200, 20.0)], 1)
+    wall2 = np.stack([np.full(200, 5.0), rng.uniform(0, 1.5, 200),
+                      rng.uniform(2, 20, 200)], 1)
+    world = np.concatenate([plane, wall, wall2]).astype(np.float32)
+
+    def get_scan(f):
+        cam_z = 0.4 * f
+        return world - np.array([0.0, 0.0, cam_z], np.float32)
+
+    out = T.icp_window_transforms(get_scan, ref=4, rng=4, n_frames=9,
+                                  jump=2)
+    assert out.shape == (9, 4, 4)
+    np.testing.assert_allclose(out[4], np.eye(4), atol=1e-9)
+    # frame 6 (camera +0.8 ahead): a world point w reads p_6 = w - 2.4z in
+    # frame 6 and p_ref = w - 1.6z in the ref frame, so T_cur_to_ref
+    # translates by +0.8 in z (and -0.8 for frame 2)
+    assert out[6][2, 3] == pytest.approx(0.8, abs=0.1)
+    assert out[2][2, 3] == pytest.approx(-0.8, abs=0.1)
+    # interpolated odd frame
+    assert out[5][2, 3] == pytest.approx(0.4, abs=0.1)
