@@ -22,6 +22,14 @@ import numpy as np
 
 def main():
     import jax
+
+    # persistent compile cache: end-of-round driver runs (and retries) skip
+    # the multi-minute remote compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from monosowa_tpu.ops import tfl
