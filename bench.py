@@ -73,16 +73,15 @@ def main():
     print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
-    iters = 20
+    iters = 5
     times = []
-    for _ in range(iters):
+    for i in range(iters):
         t0 = time.perf_counter()
         res = fit_cars(batch, template, tfield, cfg)
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
+        print(f"# iter {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)
     dt = float(np.median(times))
-    print(f"# per-iter times: min {min(times):.4f}s median {dt:.4f}s "
-          f"max {max(times):.4f}s", file=sys.stderr)
 
     cars_per_sec = n_cars / max(dt, 1e-9)
     baseline_cars_per_sec = 1.0  # reference: ~1 car/s single CPU process
