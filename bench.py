@@ -32,9 +32,9 @@ def main():
         pass
     import jax.numpy as jnp
 
-    from monosowa_tpu.ops import tfl
     from monosowa_tpu.ops.geometry import rot_y
-    from monosowa_tpu.sowa.fitting import CarBatch, FitConfig, fit_cars
+    from monosowa_tpu.sowa.fitting import (CarBatch, FitConfig,
+                                           fit_cars_conv, make_conv_kernels)
     from monosowa_tpu.sowa.templates import TemplateBank
 
     n_cars = 16
@@ -42,7 +42,8 @@ def main():
     rng = np.random.default_rng(0)
     bank = TemplateBank.default()
     template = jnp.asarray(bank.points[0])
-    tfield = tfl.build_template_field(bank.points[0], 0.2)
+    cfg = FitConfig()
+    spec, occ_k, memb_k = make_conv_kernels(bank.points[0], cfg)
 
     pts = np.zeros((n_cars, n_pts, 3), np.float32)
     mask = np.zeros((n_cars, n_pts), bool)
@@ -62,13 +63,12 @@ def main():
                      theta_est=jnp.zeros(n_cars, jnp.float32),
                      theta_valid=jnp.zeros(n_cars, bool),
                      car_valid=jnp.ones(n_cars, bool))
-    cfg = FitConfig()
 
     import sys
 
     # compile + warmup
     t0 = time.perf_counter()
-    res = fit_cars(batch, template, tfield, cfg)
+    res = fit_cars_conv(batch, template, occ_k, memb_k, spec, cfg)
     jax.block_until_ready(res)
     print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
@@ -77,7 +77,7 @@ def main():
     times = []
     for i in range(iters):
         t0 = time.perf_counter()
-        res = fit_cars(batch, template, tfield, cfg)
+        res = fit_cars_conv(batch, template, occ_k, memb_k, spec, cfg)
         jax.block_until_ready(res)
         times.append(time.perf_counter() - t0)
         print(f"# iter {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)

@@ -309,3 +309,187 @@ def grid_pose_losses(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
         return -(t_frac + s_frac)
 
     return jax.lax.map(per_theta, thetas)  # (NT, P)
+
+
+# ---------------------------------------------------------------------------
+# Convolutional coarse-grid evaluation (MXU formulation)
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class ConvGridSpec:
+    """Static geometry tying the translation grid to a voxel lattice.
+
+    The translation steps equal the voxel size AND the grid endpoints are
+    integer multiples of it (n_dx/n_dz are auto-bumped by
+    ``ConvGridSpec.aligned`` — e.g. the reference's 40-step 4 m range
+    becomes 41 steps of 0.10 m), so evaluating the TFL over the whole
+    (theta x dx x dz) grid becomes, per theta, one VALID cross-correlation
+    between a scan field and a precomputed rotated template kernel — pure
+    MXU work, no gathers or scatters (both of which XLA serializes on TPU).
+    Voxel-center quantization error is bounded by one voxel diagonal and
+    the exact fine pass re-anchors theta.
+    """
+
+    @staticmethod
+    def aligned(dx_min, dx_max, dz_min, dz_max, n_dx, n_dz, n_theta, radius,
+                reach=2.3):
+        """Bump the step counts until the endpoints sit on the step lattice
+        (finer grid = strict superset quality-wise)."""
+        def fix(lo, hi, n):
+            for nn in range(n, n + 8):
+                h = (hi - lo) / (nn - 1)
+                if abs(lo / h - round(lo / h)) < 1e-6:
+                    return nn
+            return n
+        return ConvGridSpec(dx_min=dx_min, dx_max=dx_max, dz_min=dz_min,
+                            dz_max=dz_max, n_dx=fix(dx_min, dx_max, n_dx),
+                            n_dz=fix(dz_min, dz_max, n_dz),
+                            n_theta=n_theta, radius=radius, reach=reach)
+
+    dx_min: float = -2.0
+    dx_max: float = 2.0
+    dz_min: float = -1.0
+    dz_max: float = 3.0
+    n_dx: int = 40
+    n_dz: int = 40
+    n_theta: int = 40
+    radius: float = 0.2
+    reach: float = 2.3          # template circumradius + radius margin
+
+    @property
+    def h(self) -> float:
+        return (self.dx_max - self.dx_min) / (self.n_dx - 1)
+
+    @property
+    def k_half(self) -> int:
+        return int(np.ceil(self.reach / self.h))
+
+    @property
+    def k_size(self) -> int:
+        return 2 * self.k_half + 1
+
+    @property
+    def y_half(self) -> int:
+        # template half-height + radius
+        return int(np.ceil(1.0 / self.h))
+
+    @property
+    def y_size(self) -> int:
+        return 2 * self.y_half + 1
+
+    @property
+    def x_size(self) -> int:
+        return self.n_dx - 1 + self.k_size
+
+    @property
+    def z_size(self) -> int:
+        return self.n_dz - 1 + self.k_size
+
+    @property
+    def origin(self):
+        return (self.dx_min - (self.k_half + 0.5) * self.h,
+                -(self.y_half + 0.5) * self.h,
+                self.dz_min - (self.k_half + 0.5) * self.h)
+
+
+def conv_translations(spec: "ConvGridSpec") -> np.ndarray:
+    """(n_dx * n_dz, 3) translation table in the conv output's x-major
+    order."""
+    tx = spec.dx_min + np.arange(spec.n_dx) * spec.h
+    tz = spec.dz_min + np.arange(spec.n_dz) * spec.h
+    gx, gz = np.meshgrid(tx, tz, indexing="ij")
+    return np.stack([gx.reshape(-1), np.zeros(gx.size), gz.reshape(-1)],
+                    -1).astype(np.float32)
+
+
+def rotated_template_kernels(template: np.ndarray,
+                             spec: ConvGridSpec) -> tuple:
+    """Precompute, per theta, the occupancy-count kernel (for the
+    template->scan coverage term) and the ball-dilated membership kernel
+    (for the scan->template term).  Host-side numpy, once per template.
+
+    Returns (occ (NT, Y, K, K) float32, memb (NT, Y, K, K) float32).
+    """
+    import scipy.ndimage
+
+    h = spec.h
+    k = spec.k_half
+    ky = spec.y_half
+    ksz, ysz = spec.k_size, spec.y_size
+    thetas = np.linspace(0.0, 2 * np.pi - 2 * np.pi / spec.n_theta,
+                         spec.n_theta)
+
+    ball = _ball_kernel(spec.radius, h).astype(bool)
+    occ_all = np.zeros((spec.n_theta, ysz, ksz, ksz), np.float32)
+    memb_all = np.zeros_like(occ_all)
+    for ti, th in enumerate(thetas):
+        c, s = np.cos(th), np.sin(th)
+        rx = c * template[:, 0] + s * template[:, 2]
+        rz = -s * template[:, 0] + c * template[:, 2]
+        ay = np.floor(template[:, 1] / h + 0.5).astype(int) + ky
+        ax = np.floor(rx / h + 0.5).astype(int) + k
+        az = np.floor(rz / h + 0.5).astype(int) + k
+        ok = ((ay >= 0) & (ay < ysz) & (ax >= 0) & (ax < ksz)
+              & (az >= 0) & (az < ksz))
+        np.add.at(occ_all[ti], (ay[ok], ax[ok], az[ok]), 1.0)
+        memb_all[ti] = scipy.ndimage.binary_dilation(
+            occ_all[ti] > 0, structure=np.transpose(ball, (1, 0, 2))
+        ).astype(np.float32)
+    return occ_all, memb_all
+
+
+def _conv_fields(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                 spec: ConvGridSpec):
+    """Scan counts + ball-dilated membership on the conv lattice."""
+    fspec = FieldSpec(origin=spec.origin, voxel=spec.h,
+                      shape=(spec.x_size, spec.y_size, spec.z_size))
+    counts = occupancy_histogram(scan_local, scan_mask, fspec)  # (X, Y, Z)
+    kern = _ball_kernel(spec.radius, spec.h)
+    ksize = kern.shape[0]
+    half = ksize // 2
+    x, y, z = fspec.shape
+    img = jnp.transpose(counts, (1, 0, 2))[:, None, :, :]       # (Y,1,X,Z)
+    acc = jnp.zeros((y, x, z))
+    for j in range(ksize):
+        dy = j - half
+        rolled = jnp.roll(img, -dy, axis=0)
+        if dy > 0:
+            rolled = rolled.at[y - dy:].set(0.0)
+        elif dy < 0:
+            rolled = rolled.at[:-dy].set(0.0)
+        k2d = jnp.asarray(kern[:, j, :])[None, None]
+        out = jax.lax.conv_general_dilated(
+            rolled, k2d, window_strides=(1, 1), padding="SAME")
+        acc = acc + out[:, 0]
+    membership = (acc > 0.5).astype(jnp.float32)                # (Y, X, Z)
+    return jnp.transpose(counts, (1, 0, 2)), membership
+
+
+@partial(jax.jit, static_argnames=("spec", "n_template"))
+def grid_pose_losses_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                          occ_kernels: jnp.ndarray,
+                          memb_kernels: jnp.ndarray,
+                          spec: ConvGridSpec,
+                          n_template: int) -> jnp.ndarray:
+    """binary2way TFL over the full pose grid as two convolutions.
+
+    Returns losses (NT, n_dx * n_dz) matching grid_pose_losses's layout
+    (translations ordered x-major to align with fitting._pose_grids).
+    """
+    counts_yxz, memb_yxz = _conv_fields(scan_local, scan_mask, spec)
+    n_scan = jnp.maximum(jnp.sum(scan_mask), 1).astype(jnp.float32)
+
+    def corr(img_yxz, kernels):
+        out = jax.lax.conv_general_dilated(
+            img_yxz[None],                     # (1, Y, X, Z)
+            kernels,                           # (NT, Y, K, K)
+            window_strides=(1, 1), padding="VALID",
+            preferred_element_type=jnp.float32)
+        return out[0]                          # (NT, n_dx, n_dz)
+
+    count_t = corr(memb_yxz, occ_kernels)
+    count_s = corr(counts_yxz, memb_kernels)
+    t_frac = count_t / n_template
+    s_frac = count_s / n_scan
+    loss = -(t_frac + s_frac)
+    return loss.reshape(loss.shape[0], -1)

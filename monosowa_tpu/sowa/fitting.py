@@ -66,6 +66,19 @@ def _pose_grids(cfg: FitConfig):
     return jnp.asarray(thetas), jnp.asarray(trans)
 
 
+def _plateau_theta(thetas: jnp.ndarray, losses: jnp.ndarray) -> jnp.ndarray:
+    """Circular centroid of the minimal-loss plateau.
+
+    The binary TFL saturates over a band of thetas (radius-tolerant); plain
+    argmin returns the band edge.  The centroid of the tied minimum is a
+    strictly better point estimate with the same minimizer set."""
+    lmin = jnp.min(losses)
+    on = (losses <= lmin + 1e-6).astype(jnp.float32)
+    c = jnp.sum(on * jnp.cos(thetas))
+    s = jnp.sum(on * jnp.sin(thetas))
+    return jnp.mod(jnp.arctan2(s, c), 2 * jnp.pi)
+
+
 def _fine_thetas(cfg: FitConfig):
     return jnp.asarray(np.linspace(
         0.0, 2 * np.pi - 2 * np.pi / cfg.n_theta_fine, cfg.n_theta_fine,
@@ -114,9 +127,9 @@ def fit_standing_car(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
 
     fine = exact_theta_losses(scan_local, scan_mask, template, t_best,
                               _fine_thetas(cfg), cfg.radius, cfg.fine_chunk)
-    fbest = jnp.argmin(fine)
     return FitResult(x=t_best[0], y=jnp.float32(0.0), z=t_best[2],
-                     theta=_fine_thetas(cfg)[fbest], loss=fine[fbest])
+                     theta=_plateau_theta(_fine_thetas(cfg), fine),
+                     loss=jnp.min(fine))
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -239,6 +252,99 @@ def fit_cars(batch: CarBatch, template: jnp.ndarray,
         standing = fit_standing_car(local, mask, template, template_field, cfg)
         mov = fit_moving_car(local, mask, template, template_field,
                              theta_est, theta_valid, cfg)
+        pick = lambda a, b: jnp.where(moving, b, a)
+        return (pick(standing.x, mov.x), pick(standing.z, mov.z),
+                pick(standing.theta, mov.theta), pick(standing.loss, mov.loss),
+                center)
+
+    xs, zs, thetas, losses, centers = jax.vmap(fit_one)(
+        batch.points, batch.mask, batch.moving, batch.theta_est,
+        batch.theta_valid)
+    return BatchFitResult(
+        x=centers[:, 0] + xs, y=centers[:, 1],
+        z=centers[:, 2] + zs, theta=thetas, loss=losses, center=centers)
+
+
+# ---------------------------------------------------------------------------
+# Convolutional (MXU) fitting path
+# ---------------------------------------------------------------------------
+
+def make_conv_kernels(template: np.ndarray, cfg: FitConfig = FitConfig()):
+    """Precompute the per-theta rotated template kernels (host, once).
+
+    Returns (spec, occ_kernels, memb_kernels) for grid_pose_losses_conv.
+    """
+    spec = tfl.ConvGridSpec.aligned(
+        cfg.dx_min, cfg.dx_max, cfg.dz_min, cfg.dz_max,
+        cfg.n_dx, cfg.n_dz, cfg.n_theta, cfg.radius)
+    occ, memb = tfl.rotated_template_kernels(np.asarray(template), spec)
+    return spec, jnp.asarray(occ), jnp.asarray(memb)
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def fit_standing_car_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                          template: jnp.ndarray, occ_k: jnp.ndarray,
+                          memb_k: jnp.ndarray, spec,
+                          cfg: FitConfig = FitConfig()) -> FitResult:
+    """Coarse grid via the conv kernels + exact fine theta pass."""
+    trans = jnp.asarray(tfl.conv_translations(spec))
+    losses = tfl.grid_pose_losses_conv(scan_local, scan_mask, occ_k, memb_k,
+                                       spec, template.shape[0])
+    flat = losses.reshape(-1)
+    best = jnp.argmin(flat)
+    bi_trans = best % trans.shape[0]
+    t_best = trans[bi_trans]
+
+    fine = exact_theta_losses(scan_local, scan_mask, template, t_best,
+                              _fine_thetas(cfg), cfg.radius, cfg.fine_chunk)
+    return FitResult(x=t_best[0], y=jnp.float32(0.0), z=t_best[2],
+                     theta=_plateau_theta(_fine_thetas(cfg), fine),
+                     loss=jnp.min(fine))
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def fit_moving_car_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                        template: jnp.ndarray, occ_k: jnp.ndarray,
+                        memb_k: jnp.ndarray, spec,
+                        theta_est: jnp.ndarray, theta_valid: jnp.ndarray,
+                        cfg: FitConfig = FitConfig()) -> FitResult:
+    """Moving car on the conv grid: the scan shifts by -moving_dz_shift so
+    the shifted translation range stays lattice-aligned; with a reliable
+    trajectory angle only the nearest-theta kernel row competes and the
+    output theta is the exact trajectory estimate (optimize_moving
+    semantics: theta fixed, translation searched)."""
+    trans = jnp.asarray(tfl.conv_translations(spec))
+    shifted = scan_local - jnp.asarray([0.0, 0.0, cfg.moving_dz_shift])
+    losses = tfl.grid_pose_losses_conv(shifted, scan_mask, occ_k, memb_k,
+                                       spec, template.shape[0])
+    nt = losses.shape[0]
+    row = jnp.round(theta_est / (2 * jnp.pi / nt)).astype(jnp.int32) % nt
+    row_mask = (jnp.arange(nt) == row) | ~theta_valid
+    masked = jnp.where(row_mask[:, None], losses, jnp.inf)
+    flat = masked.reshape(-1)
+    best = jnp.argmin(flat)
+    bi_theta = best // trans.shape[0]
+    bi_trans = best % trans.shape[0]
+    thetas_grid = jnp.linspace(0.0, 2 * jnp.pi - 2 * jnp.pi / nt, nt)
+    theta = jnp.where(theta_valid, theta_est, thetas_grid[bi_theta])
+    return FitResult(x=trans[bi_trans, 0], y=jnp.float32(0.0),
+                     z=trans[bi_trans, 2] + cfg.moving_dz_shift,
+                     theta=theta, loss=flat[best])
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def fit_cars_conv(batch: CarBatch, template: jnp.ndarray,
+                  occ_k: jnp.ndarray, memb_k: jnp.ndarray, spec,
+                  cfg: FitConfig = FitConfig()) -> BatchFitResult:
+    """Conv-path equivalent of fit_cars (one vmap over the padded batch)."""
+
+    def fit_one(points, mask, moving, theta_est, theta_valid):
+        center = masked_median(points, mask)
+        local = points - center
+        standing = fit_standing_car_conv(local, mask, template, occ_k,
+                                         memb_k, spec, cfg)
+        mov = fit_moving_car_conv(local, mask, template, occ_k, memb_k,
+                                  spec, theta_est, theta_valid, cfg)
         pick = lambda a, b: jnp.where(moving, b, a)
         return (pick(standing.x, mov.x), pick(standing.z, mov.z),
                 pick(standing.theta, mov.theta), pick(standing.loss, mov.loss),

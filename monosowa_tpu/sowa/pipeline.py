@@ -25,7 +25,8 @@ import numpy as np
 from monosowa_tpu.kittiio.labels import write_pseudo_label_file
 from monosowa_tpu.ops import box3d, tfl
 from monosowa_tpu.sowa import aggregation, candidates, lomm
-from monosowa_tpu.sowa.fitting import (CarBatch, FitConfig, fit_cars)
+from monosowa_tpu.sowa.fitting import (CarBatch, FitConfig, fit_cars_conv,
+                                       make_conv_kernels)
 from monosowa_tpu.sowa.templates import TemplateBank
 
 
@@ -62,8 +63,9 @@ class PseudoLabeler:
         self.cfg = cfg
         self.bank = bank or TemplateBank.default()
         self.template = jnp.asarray(self.bank.points[0])
-        self.template_field = tfl.build_template_field(
-            self.bank.points[0], cfg.fit.radius)
+        # conv-grid kernels: the MXU fitting path (ops/tfl.py ConvGridSpec)
+        self.conv_spec, self.occ_kernels, self.memb_kernels = \
+            make_conv_kernels(self.bank.points[0], cfg.fit)
 
     # ------------------------------------------------------------------
     def label_frame(self, window_frames: Sequence[int], ref_offset_index: int,
@@ -107,7 +109,8 @@ class PseudoLabeler:
 
         batch = aggregation.build_car_batch(
             kept, points, window_frames, cfg.max_cars, cfg.max_points)
-        res = fit_cars(batch, self.template, self.template_field, cfg.fit)
+        res = fit_cars_conv(batch, self.template, self.occ_kernels,
+                            self.memb_kernels, self.conv_spec, cfg.fit)
 
         n = min(len(kept), cfg.max_cars)
         l, w, h = cfg.template_dims_lwh
@@ -138,8 +141,9 @@ class PseudoLabeler:
                 sub_tracks, merged_points, window_frames,
                 max_cars=max(len(refit_targets), 1),
                 max_points=cfg.max_points)
-            sub_res = fit_cars(sub_batch, self.template, self.template_field,
-                               cfg.fit)
+            sub_res = fit_cars_conv(sub_batch, self.template,
+                                    self.occ_kernels, self.memb_kernels,
+                                    self.conv_spec, cfg.fit)
             for j, t in enumerate(refit_targets):
                 center[t] = [float(sub_res.x[j]), float(sub_res.y[j]),
                              float(sub_res.z[j])]
