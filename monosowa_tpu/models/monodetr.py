@@ -84,6 +84,7 @@ class MonoDETR(nn.Module):
     num_depth_bins: int = 80
     depth_min: float = 1e-3
     depth_max: float = 60.0
+    msda_backend: str = "xla"   # "pallas" = ops/msda_pallas VMEM kernel
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, calibs: jnp.ndarray,
@@ -129,6 +130,7 @@ class MonoDETR(nn.Module):
         memory = VisualEncoder(
             self.enc_layers, self.d_model, self.d_ffn, self.dropout,
             self.num_feature_levels, self.nheads, self.enc_n_points,
+            self.msda_backend,
             name="encoder")(src_flat, pos_flat, spatial_shapes, deterministic)
 
         # ------- queries ----------------------------------------------
@@ -171,7 +173,8 @@ class MonoDETR(nn.Module):
             output = DepthAwareDecoderLayer(
                 self.d_model, self.d_ffn, self.dropout,
                 self.num_feature_levels, self.nheads, self.dec_n_points,
-                self.group_num, name=f"decoder_layer{lid}")(
+                self.group_num, self.msda_backend,
+                name=f"decoder_layer{lid}")(
                 output, query_pos, ref_input, memory, spatial_shapes,
                 depth_embed_seq, training, deterministic)
             refs_before.append(ref)
@@ -271,4 +274,5 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         num_depth_bins=cfg.get("num_depth_bins", 80),
         depth_min=float(cfg.get("depth_min", 1e-3)),
         depth_max=float(cfg.get("depth_max", 60.0)),
+        msda_backend=cfg.get("msda_backend", "xla"),
     )

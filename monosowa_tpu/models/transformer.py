@@ -57,6 +57,7 @@ class MSDeformAttnModule(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    backend: str = "xla"   # "xla" (gather core) or "pallas" (VMEM kernel)
 
     @nn.compact
     def __call__(self, query, reference_points, src_flat,
@@ -93,7 +94,12 @@ class MSDeformAttnModule(nn.Module):
             loc = (reference_points[:, :, None, :, None, :2]
                    + offsets / p * wh * 0.5)
 
-        out = ms_deform_attn(value, spatial_shapes, loc, weights)
+        if self.backend == "pallas":
+            from monosowa_tpu.ops.msda_pallas import ms_deform_attn_pallas
+            out = ms_deform_attn_pallas(value, tuple(spatial_shapes), loc,
+                                        weights)
+        else:
+            out = ms_deform_attn(value, spatial_shapes, loc, weights)
         return nn.Dense(self.d_model,
                         kernel_init=nn.initializers.xavier_uniform(),
                         name="output_proj")(out)
@@ -106,12 +112,14 @@ class VisualEncoderLayer(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    msda_backend: str = "xla"
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
                  deterministic: bool = True):
         attn = MSDeformAttnModule(self.d_model, self.n_levels, self.n_heads,
-                                  self.n_points, name="self_attn")(
+                                  self.n_points, self.msda_backend,
+                                  name="self_attn")(
             src + pos, reference_points, src, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
@@ -144,6 +152,7 @@ class VisualEncoder(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
+    msda_backend: str = "xla"
 
     @nn.compact
     def __call__(self, src, pos, spatial_shapes, deterministic: bool = True):
@@ -152,7 +161,8 @@ class VisualEncoder(nn.Module):
         for i in range(self.num_layers):
             src = VisualEncoderLayer(
                 self.d_model, self.d_ffn, self.dropout, self.n_levels,
-                self.n_heads, self.n_points, name=f"layer{i}")(
+                self.n_heads, self.n_points, self.msda_backend,
+                name=f"layer{i}")(
                 src, pos, ref, spatial_shapes, deterministic)
         return src
 
@@ -165,6 +175,7 @@ class DepthAwareDecoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     group_num: int = 11
+    msda_backend: str = "xla"
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -211,7 +222,8 @@ class DepthAwareDecoderLayer(nn.Module):
 
         # --- deformable cross-attention --------------------------------
         c_attn = MSDeformAttnModule(self.d_model, self.n_levels, self.n_heads,
-                                    self.n_points, name="cross_attn")(
+                                    self.n_points, self.msda_backend,
+                                    name="cross_attn")(
             tgt + query_pos, reference_points, src, spatial_shapes)
         tgt = tgt + nn.Dropout(self.dropout)(c_attn,
                                              deterministic=deterministic)
