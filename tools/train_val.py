@@ -48,60 +48,8 @@ def build_loader(ds, batch_size, shuffle, seed=444):
 
 
 def evaluate(model, state, val_ds, cfg, logger=print):
-    import jax.numpy as jnp
-
-    from monosowa_tpu.data.kitti_dataset import CLS_MEAN_SIZE
-    from monosowa_tpu.evalkitti import (annos_from_label_dir,
-                                        get_official_eval_result)
-    from monosowa_tpu.evalkitti.eval import anno_from_label_file
-    from monosowa_tpu.kittiio.labels import write_detection_file
-    from monosowa_tpu.train.decode import decode_detections
-    from monosowa_tpu.train.trainer import make_eval_step
-
-    tester_cfg = cfg.get("tester", {})
-    threshold = float(tester_cfg.get("threshold", 0.2))
-    out_dir = os.path.join(cfg["trainer"].get("save_path", "outputs"),
-                           "outputs", "data")
-    os.makedirs(out_dir, exist_ok=True)
-    eval_step = make_eval_step(model, topk=int(tester_cfg.get("topk", 50)))
-
-    batch_size = int(cfg["dataset"].get("batch_size", 16))
-    loader = build_loader(val_ds, batch_size, shuffle=False)
-    mean_size = (CLS_MEAN_SIZE if cfg["dataset"].get("meanshape", False)
-                 else np.zeros((3, 3), np.float32))
-    class_names = ["Pedestrian", "Car", "Cyclist"]
-
-    n = 0
-    t0 = time.time()
-    for batch in loader():
-        dets = np.asarray(eval_step(state, {
-            k: jnp.asarray(v) for k, v in batch.items()
-            if k in ("image", "calib", "img_size")}))
-        infos = {"img_size": batch["img_size"],
-                 "img_id": batch["img_id"],
-                 "canonical_scale": batch["canonical_scale"],
-                 "height_crop": batch["height_crop"]}
-        from monosowa_tpu.kittiio import Calibration
-        calibs = [Calibration({"P2": batch["calib"][i]})
-                  for i in range(len(batch["img_id"]))]
-        results = decode_detections(dets, infos, calibs, mean_size, threshold)
-        for img_id, rows in results.items():
-            write_detection_file(
-                os.path.join(out_dir, f"{img_id:06d}.txt"), rows,
-                class_names)
-        n += len(batch["img_id"])
-    logger(f"inference on {n} images, {(time.time() - t0) / max(n, 1):.3f}"
-           " s/img")
-
-    gt_dir = os.path.join(cfg["dataset"]["root_dir"], "training", "label_2")
-    ids = [f"{int(i):06d}" for i in val_ds.idx_list]
-    gt = annos_from_label_dir(gt_dir, ids)
-    dt = [anno_from_label_file(os.path.join(out_dir, f"{i}.txt"))
-          for i in ids]
-    res = get_official_eval_result(gt, dt, current_classes=(0,))
-    for k, v in res.items():
-        logger(f"{k}: AP40 {['%.2f' % a for a in v['ap40']]}")
-    return res
+    from monosowa_tpu.train.tester import test
+    return test(model, state, val_ds, cfg, logger)
 
 
 def main(argv=None):
