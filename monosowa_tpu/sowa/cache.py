@@ -49,7 +49,8 @@ def load_candidates(cache_dir: str, frame: str) -> Optional[dict]:
 # -- merged-car caches (post aggregation, pre optimization) -----------------
 
 def save_merged_cars(cache_dir: str, frame: str, tracks: Sequence[Track],
-                     points: Sequence[np.ndarray]) -> str:
+                     points: Sequence[np.ndarray],
+                     ref_masks: Optional[Sequence] = None) -> str:
     os.makedirs(cache_dir, exist_ok=True)
     path = os.path.join(cache_dir, f"{frame}.npz")
     payload = {"n": np.int64(len(tracks))}
@@ -59,17 +60,23 @@ def save_merged_cars(cache_dir: str, frame: str, tracks: Sequence[Track],
         payload[f"frames_{i}"] = np.asarray(t.frames, np.int32)
         payload[f"locations_{i}"] = np.asarray(
             [loc[:3] for loc in t.locations], np.float32)
+        if ref_masks is not None and ref_masks[i] is not None:
+            m = np.asarray(ref_masks[i], bool)
+            payload[f"mask_{i}"] = np.packbits(m, axis=-1)
+            payload[f"mask_shape_{i}"] = np.asarray(m.shape)
     np.savez_compressed(path, **payload)
     return path
 
 
 def load_merged_cars(cache_dir: str, frame: str
                      ) -> Optional[tuple]:
+    """Returns (tracks, points, ref_masks) or None."""
     path = os.path.join(cache_dir, f"{frame}.npz")
     if not os.path.exists(path):
         return None
     tracks: List[Track] = []
     points: List[np.ndarray] = []
+    ref_masks: List = []
     with np.load(path) as z:
         for i in range(int(z["n"])):
             frames = z[f"frames_{i}"].tolist()
@@ -80,7 +87,14 @@ def load_merged_cars(cache_dir: str, frame: str
                       moving=bool(z[f"moving_{i}"]))
             tracks.append(t)
             points.append(z[f"points_{i}"])
-    return tracks, points
+            if f"mask_{i}" in z:
+                shape = z[f"mask_shape_{i}"]
+                ref_masks.append(np.unpackbits(
+                    z[f"mask_{i}"], axis=-1,
+                    count=int(shape[-1])).astype(bool))
+            else:
+                ref_masks.append(None)
+    return tracks, points, ref_masks
 
 
 def stage_done(cache_dir: str, frame: str) -> bool:

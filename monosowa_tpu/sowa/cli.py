@@ -108,8 +108,17 @@ class KittiObjectDriver:
         hi = min(seq_end if seq_end is not None else len(ids), len(ids))
         ids = ids[lo:hi]
         n_done = 0
-        if self.flags.do_optim:
-            labeler = PseudoLabeler(self.pcfg)
+        if self.flags.do_optim or self.flags.compute_dimensions:
+            import dataclasses as _dc
+            pcfg = self.pcfg
+            if self.flags.do_optim_scale or self.flags.compute_dimensions:
+                # demo / dimensions_output actions enable the size stages
+                pcfg = _dc.replace(
+                    pcfg,
+                    use_scale_detector=self.flags.do_optim_scale,
+                    use_dimensions_estimation=self.flags.compute_dimensions
+                    and not self.flags.do_optim_scale)
+            labeler = PseudoLabeler(pcfg)
             for fid in ids:
                 n_done += self._optimize_frame(labeler, fid)
         elif self.flags.generate_transformations_only:
@@ -248,16 +257,31 @@ class KittiObjectDriver:
         tracks = lomm.greedy_track(cands, window,
                                    self.pcfg.dist_threshold_tracking)
         lomm.classify_all(tracks, method=self.pcfg.moving_method)
-        kept, points, _ = aggregation.aggregate_tracks(
+        kept, points, ref_masks = aggregation.aggregate_tracks(
             tracks, transforms, window, self.pcfg.keep_k_frames,
             self.pcfg.min_standing_points)
-        cache_mod.save_merged_cars(self.merged_dir, fid, kept, points)
+        cache_mod.save_merged_cars(self.merged_dir, fid, kept, points,
+                                   ref_masks)
         return 1
 
     def _optimize_frame(self, labeler: PseudoLabeler, fid: str) -> int:
         out = os.path.join(self.labels_path, f"{fid}.txt")
         if os.path.exists(out):
             return 0
+
+        # staged-pipeline fast path: consume the frames_aggregation cache
+        from monosowa_tpu.sowa import cache as cache_mod
+        from monosowa_tpu.kittiio.labels import write_pseudo_label_file
+        merged = cache_mod.load_merged_cars(self.merged_dir, fid)
+        if merged is not None:
+            tracks, points, ref_masks = merged
+            before, after = self.pcfg.nscans_before, self.pcfg.nscans_after
+            window = list(range(-before, after + 1))
+            cars = labeler.label_from_cars(tracks, points, ref_masks, window)
+            os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+            write_pseudo_label_file(out, cars)
+            return 1
+
         calib = self._calib(fid)
         full = transforms_mod.load_window_transforms(self.transforms_dir, fid)
         before, after = self.pcfg.nscans_before, self.pcfg.nscans_after

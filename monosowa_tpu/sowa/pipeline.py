@@ -97,6 +97,20 @@ class PseudoLabeler:
         if not kept:
             return []
 
+        return self.label_from_cars(kept, points, ref_masks, window_frames)
+
+    # ------------------------------------------------------------------
+    def label_from_cars(self, kept, points, ref_masks,
+                        window_frames) -> List[dict]:
+        """Fit + NMS + assemble from aggregated per-car point clouds —
+        the `optimization` stage when the `frames_aggregation` cache is
+        already on disk (cache.load_merged_cars)."""
+        cfg = self.cfg
+        if not kept:
+            return []
+        if ref_masks is None:
+            ref_masks = [aggregation.choose_ref_mask(t) for t in kept]
+
         if cfg.use_ensemble_filter:
             from monosowa_tpu.sowa.filtering import ensemble_inlier_mask
             filtered = []

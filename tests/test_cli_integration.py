@@ -96,10 +96,11 @@ def test_frames_aggregation_action(dataset):
     cli.main(["--config", dataset["cfg"], "--dataset", "kitti",
               "--action", "frames_aggregation"])
     from monosowa_tpu.sowa import cache as cache_mod
-    tracks, points = cache_mod.load_merged_cars(
+    tracks, points, ref_masks = cache_mod.load_merged_cars(
         str(dataset["cache"] / "merged_cars"), "000000")
     assert len(tracks) == 1
     assert points[0].shape[0] >= 500
+    assert ref_masks[0] is not None and ref_masks[0].dtype == bool
 
 
 def test_optimization_action_writes_labels(dataset):
