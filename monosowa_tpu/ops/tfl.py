@@ -11,14 +11,17 @@ TPU-native design (no faiss): two complementary evaluators.
    the two coverage fractions come from masked min-reductions.  Used for the
    fine 360-step theta pass, rescoring, and as the parity oracle in tests.
 
-2. membership fields — for the dense coarse translation x theta grid.  The
-   scan is scattered once into a boolean voxel field ("is any scan point
-   within ``radius`` of this voxel center"); each template likewise once
-   per model in its canonical frame.  A pose evaluation then costs one
-   gather per point instead of a T x S distance matrix, turning the
-   64k-pose grid into ~2e8 int8 gathers per car, fully vmappable over cars.
-   Quantization error is bounded by half a voxel diagonal and only affects
-   the coarse argmin, which the exact fine pass re-anchors.
+2. membership fields — gather formulation of the dense coarse grid: the
+   scan becomes a boolean voxel field and each pose costs one lookup per
+   point.  Kept as the readable oracle; XLA serializes TPU gathers
+   (~1.3e8 elem/s measured) so it is not the production path.
+
+3. ``grid_pose_losses_conv`` — the MXU formulation (ConvGridSpec below):
+   occupancy histograms built by one-hot matmuls and per-theta rotated
+   template kernels turn the whole (theta x dx x dz) grid into two
+   cross-correlations; 16 cars x 64k poses evaluate in ~90 ms on one v5e
+   chip.  Voxel quantization is bounded by one voxel diagonal and the
+   exact fine pass re-anchors theta.
 """
 
 from __future__ import annotations
