@@ -101,10 +101,14 @@ class PseudoLabeler:
 
     # ------------------------------------------------------------------
     def label_from_cars(self, kept, points, ref_masks,
-                        window_frames) -> List[dict]:
+                        window_frames, precomputed=None) -> List[dict]:
         """Fit + NMS + assemble from aggregated per-car point clouds —
         the `optimization` stage when the `frames_aggregation` cache is
-        already on disk (cache.load_merged_cars)."""
+        already on disk (cache.load_merged_cars).
+
+        ``precomputed``: optional (center (N,3), theta (N,)) from an
+        external batched fit (label_frames) — skips the per-frame fit.
+        """
         cfg = self.cfg
         if not kept:
             return []
@@ -123,15 +127,19 @@ class PseudoLabeler:
 
         batch = aggregation.build_car_batch(
             kept, points, window_frames, cfg.max_cars, cfg.max_points)
-        res = fit_cars_conv(batch, self.template, self.occ_kernels,
-                            self.memb_kernels, self.conv_spec, cfg.fit)
-
         n = min(len(kept), cfg.max_cars)
         l, w, h = cfg.template_dims_lwh
-        center = np.stack([np.asarray(res.x)[:n], np.asarray(res.y)[:n],
-                           np.asarray(res.z)[:n]], 1)
+        if precomputed is not None:
+            center, theta = precomputed
+            center = np.asarray(center)[:n].copy()
+            theta = np.asarray(theta)[:n].copy()
+        else:
+            res = fit_cars_conv(batch, self.template, self.occ_kernels,
+                                self.memb_kernels, self.conv_spec, cfg.fit)
+            center = np.stack([np.asarray(res.x)[:n], np.asarray(res.y)[:n],
+                               np.asarray(res.z)[:n]], 1)
+            theta = np.asarray(res.theta)[:n]
         lwh = np.tile(np.array([l, w, h], np.float32), (n, 1))
-        theta = np.asarray(res.theta)[:n]
         npts = np.array([p.shape[0] for p in points[:n]], np.float32)
 
         # ---- 3D NMS + merge/re-fit (loader.py:2727-2800) --------------
@@ -227,6 +235,76 @@ class PseudoLabeler:
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         write_pseudo_label_file(out_path, cars)
         return cars
+
+
+    # ------------------------------------------------------------------
+    def label_frames(self, frame_jobs: Sequence[dict],
+                     overwrite: bool = False) -> int:
+        """Whole-sequence batched labelling (SURVEY.md §5.7): aggregate all
+        frames' cars on host, fit them in ONE fit_cars_conv call, then run
+        per-frame NMS/refit/writing.  Each job dict needs the label_frame
+        arguments plus ``out_path``.
+
+        Returns the number of frames written.  Designed so the TPU sees one
+        large batch per group of frames instead of per-frame dispatches.
+        """
+        cfg = self.cfg
+        prepared = []
+        for job in frame_jobs:
+            if os.path.exists(job["out_path"]) and not overwrite:
+                continue
+            window_frames = job["window_frames"]
+            cands = []
+            for k in range(len(window_frames)):
+                pts = job["get_points"](k)
+                masks_k = job["get_masks"](k)
+                if pts is None or masks_k is None or len(masks_k) == 0:
+                    cands.append(None)
+                    continue
+                cands.append(candidates.extract_candidates(
+                    pts, job["p2"], job["img_hw"], masks_k,
+                    job["transforms"][k], cfg.candidate))
+            tracks = lomm.greedy_track(cands, window_frames,
+                                       cfg.dist_threshold_tracking)
+            lomm.classify_all(tracks, method=cfg.moving_method)
+            kept, points, ref_masks = aggregation.aggregate_tracks(
+                tracks, job["transforms"], window_frames, cfg.keep_k_frames,
+                cfg.min_standing_points)
+            prepared.append(dict(job=job, kept=kept, points=points,
+                                 ref_masks=ref_masks,
+                                 window=window_frames))
+
+        # one cross-frame batched fit for every prepared car
+        all_tracks, all_points, owners = [], [], []
+        for fi, item in enumerate(prepared):
+            n_i = min(len(item["kept"]), cfg.max_cars)
+            all_tracks.extend(item["kept"][:n_i])
+            all_points.extend(item["points"][:n_i])
+            owners.extend([fi] * n_i)
+        n_written = 0
+        if all_tracks:
+            window0 = prepared[0]["window"]
+            big = aggregation.build_car_batch(
+                all_tracks, all_points, window0,
+                max_cars=len(all_tracks), max_points=cfg.max_points)
+            res = fit_cars_conv(big, self.template, self.occ_kernels,
+                                self.memb_kernels, self.conv_spec, cfg.fit)
+            centers = np.stack([np.asarray(res.x), np.asarray(res.y),
+                                np.asarray(res.z)], 1)
+            thetas = np.asarray(res.theta)
+        owners = np.asarray(owners, np.int64) if owners else np.zeros(0)
+        for fi, item in enumerate(prepared):
+            sel = np.where(owners == fi)[0]
+            pre = ((centers[sel], thetas[sel]) if len(sel) else
+                   (np.zeros((0, 3)), np.zeros(0)))
+            cars = self.label_from_cars(item["kept"], item["points"],
+                                        item["ref_masks"], item["window"],
+                                        precomputed=pre)
+            out_path = item["job"]["out_path"]
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            write_pseudo_label_file(out_path, cars)
+            n_written += 1
+        return n_written
 
 
 def mask_bbox(mask: np.ndarray) -> np.ndarray:
