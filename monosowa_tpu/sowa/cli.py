@@ -119,8 +119,23 @@ class KittiObjectDriver:
                     use_dimensions_estimation=self.flags.compute_dimensions
                     and not self.flags.do_optim_scale)
             labeler = PseudoLabeler(pcfg)
+            group = int((self.cfg.general or Config({}))
+                        .get("frames_per_batch", 8))
+            pending = []
             for fid in ids:
-                n_done += self._optimize_frame(labeler, fid)
+                used_cache = self._optimize_frame_cached(labeler, fid)
+                if used_cache is not None:
+                    n_done += used_cache
+                    continue
+                job = self._optimize_job(fid)
+                if job is None:
+                    continue
+                pending.append(job)
+                if len(pending) >= group:
+                    n_done += labeler.label_frames(pending)
+                    pending = []
+            if pending:
+                n_done += labeler.label_frames(pending)
         elif self.flags.generate_transformations_only:
             for fid in ids:
                 n_done += self._transforms_frame(fid)
@@ -264,12 +279,12 @@ class KittiObjectDriver:
                                    ref_masks)
         return 1
 
-    def _optimize_frame(self, labeler: PseudoLabeler, fid: str) -> int:
+    def _optimize_frame_cached(self, labeler: PseudoLabeler, fid: str):
+        """Skip-if-done / merged-cache fast path.  Returns frames written
+        (0 or 1) or None when the frame needs the full pipeline."""
         out = os.path.join(self.labels_path, f"{fid}.txt")
         if os.path.exists(out):
             return 0
-
-        # staged-pipeline fast path: consume the frames_aggregation cache
         from monosowa_tpu.sowa import cache as cache_mod
         from monosowa_tpu.kittiio.labels import write_pseudo_label_file
         merged = cache_mod.load_merged_cars(self.merged_dir, fid)
@@ -281,6 +296,23 @@ class KittiObjectDriver:
             os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
             write_pseudo_label_file(out, cars)
             return 1
+        return None
+
+    def _optimize_job(self, fid: str):
+        """Build a label_frames job dict for a frame (full pipeline)."""
+        window, get_points, get_masks, transforms = self._window_accessors(fid)
+        calib = self._calib(fid)
+        img_hw = self._image_hw(fid)
+        return dict(out_path=os.path.join(self.labels_path, f"{fid}.txt"),
+                    window_frames=window, get_points=get_points,
+                    get_masks=get_masks, transforms=transforms,
+                    p2=calib.P2, img_hw=img_hw)
+
+    def _optimize_frame(self, labeler: PseudoLabeler, fid: str) -> int:
+        out = os.path.join(self.labels_path, f"{fid}.txt")
+        cached = self._optimize_frame_cached(labeler, fid)
+        if cached is not None:
+            return cached
 
         calib = self._calib(fid)
         full = transforms_mod.load_window_transforms(self.transforms_dir, fid)
