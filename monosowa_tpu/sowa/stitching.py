@@ -168,3 +168,58 @@ def unwarp_mask(mask_pano: np.ndarray, h: np.ndarray,
     return cv2.warpPerspective(
         mask_pano.astype(np.uint8), np.linalg.inv(full_h),
         (cam_hw[1], cam_hw[0])).astype(bool)
+
+
+class OrbMatcherBackend:
+    """Checkpoint-free correspondence backend (OpenCV ORB + ratio test).
+
+    Stands in for kornia LoFTR when its weights are absent; any
+    MatcherBackend implementation can replace it.
+    """
+
+    def __init__(self, n_features: int = 4000, ratio: float = 0.75):
+        import cv2
+
+        self.orb = cv2.ORB_create(nfeatures=n_features)
+        self.matcher = cv2.BFMatcher(cv2.NORM_HAMMING)
+        self.ratio = ratio
+
+    def match(self, img_a: np.ndarray, img_b: np.ndarray):
+        import cv2
+
+        def gray(im):
+            if im.ndim == 3:
+                return cv2.cvtColor(im.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+            return im.astype(np.uint8)
+
+        ka, da = self.orb.detectAndCompute(gray(img_a), None)
+        kb, db = self.orb.detectAndCompute(gray(img_b), None)
+        if da is None or db is None or len(ka) < 4 or len(kb) < 4:
+            return np.zeros((0, 2)), np.zeros((0, 2))
+        pairs = self.matcher.knnMatch(da, db, k=2)
+        src, dst = [], []
+        for pair in pairs:
+            if len(pair) < 2:
+                continue
+            m, n = pair
+            if m.distance < self.ratio * n.distance:
+                src.append(ka[m.queryIdx].pt)
+                dst.append(kb[m.trainIdx].pt)
+        return np.asarray(src, np.float64), np.asarray(dst, np.float64)
+
+
+def estimate_sequence_homography(frames_a, frames_b,
+                                 matcher: Optional[MatcherBackend] = None,
+                                 threshold: float = 3.0,
+                                 iterations: int = 500):
+    """Per-sequence best homography A->B from frame pair lists
+    (perform_img_stitching + find_the_best_homo composition)."""
+    matcher = matcher or OrbMatcherBackend()
+    per_frame = []
+    for ia, ib in zip(frames_a, frames_b):
+        src, dst = matcher.match(ia, ib)
+        if len(src) >= 4:
+            per_frame.append((src, dst))
+    if not per_frame:
+        return None
+    return select_best_homography(per_frame, threshold, iterations)

@@ -90,3 +90,27 @@ def test_template_tracker_follows_moving_patch():
     assert t.matched_mask_idx[-1] == 0
     final = t.boxes[-1]
     assert abs(final[0] - (40 + 24)) < 6
+
+
+def test_orb_matcher_and_sequence_homography():
+    """End-to-end offline stitching: textured synthetic frames related by a
+    known homography -> ORB matches -> recovered H."""
+    rng = np.random.default_rng(9)
+    base = (rng.uniform(0, 255, (240, 320)) > 127).astype(np.uint8) * 255
+    import cv2
+    base = cv2.GaussianBlur(base, (5, 5), 0)
+    h_true = np.array([[1.0, 0.02, 25.0], [-0.01, 1.0, 8.0], [0, 0, 1.0]])
+    frames_a, frames_b = [], []
+    for k in range(3):
+        shift = np.eye(3)
+        shift[0, 2] = 5.0 * k
+        a = cv2.warpPerspective(base, shift, (320, 240))
+        b = cv2.warpPerspective(a, h_true, (320, 240))
+        frames_a.append(a)
+        frames_b.append(b)
+    h = stitching.estimate_sequence_homography(frames_a, frames_b,
+                                               iterations=300)
+    assert h is not None
+    pts = np.random.default_rng(1).uniform(40, 200, (30, 2))
+    got = stitching.transfer_error(h, pts, _apply_h(h_true, pts))
+    assert np.median(got) < 2.0
