@@ -38,6 +38,7 @@ class DNQueries(NamedTuple):
     valid: jnp.ndarray         # (B, G*M) slot validity
     attn_mask: jnp.ndarray     # (G*M + Q, G*M + Q) True = blocked
     num_dn: int
+    num_groups: int
 
 
 def build_dn_attn_mask(num_dn_groups: int, group_size: int,
@@ -54,6 +55,32 @@ def build_dn_attn_mask(num_dn_groups: int, group_size: int,
         s, e = i * group_size, (i + 1) * group_size
         mask = mask.at[s:e, :s].set(True)
         mask = mask.at[s:e, e:pad].set(True)
+    return mask
+
+
+def build_joint_attn_mask(num_dn_groups: int, dn_group_size: int,
+                          num_match_groups: int, queries_per_group: int
+                          ) -> jnp.ndarray:
+    """Full mask for [dn groups | matchable groups] self-attention: DN block
+    rules (build_dn_attn_mask) + Group-DETR block-diagonal matchable groups
+    (depthaware_transformer.py:480-498 expressed as a mask)."""
+    pad = num_dn_groups * dn_group_size
+    nq = num_match_groups * queries_per_group
+    total = pad + nq
+    mask = jnp.zeros((total, total), bool)
+    # matchable cannot see dn
+    mask = mask.at[pad:, :pad].set(True)
+    # dn group isolation
+    for i in range(num_dn_groups):
+        s_, e_ = i * dn_group_size, (i + 1) * dn_group_size
+        mask = mask.at[s_:e_, :s_].set(True)
+        mask = mask.at[s_:e_, e_:pad].set(True)
+    # matchable group isolation (block diagonal)
+    for g in range(num_match_groups):
+        s_ = pad + g * queries_per_group
+        e_ = s_ + queries_per_group
+        mask = mask.at[s_:e_, pad:s_].set(True)
+        mask = mask.at[s_:e_, e_:].set(True)
     return mask
 
 
@@ -93,7 +120,8 @@ def prepare_dn(key: jax.Array, labels: jnp.ndarray, boxes_3d: jnp.ndarray,
 
     attn = build_dn_attn_mask(g, m, num_queries)
     return DNQueries(label_ids=noised_labels, refpoints=noised_boxes,
-                     valid=known_valid, attn_mask=attn, num_dn=g * m)
+                     valid=known_valid, attn_mask=attn, num_dn=g * m,
+                     num_groups=g)
 
 
 def dn_loss(outputs_dn: Dict[str, jnp.ndarray], labels: jnp.ndarray,

@@ -69,6 +69,7 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query, key, value, key_mask: Optional[jnp.ndarray] = None,
+                 attn_mask: Optional[jnp.ndarray] = None,
                  deterministic: bool = True):
         d = query.shape[-1]
         dh = d // self.num_heads
@@ -82,6 +83,9 @@ class MultiHeadAttention(nn.Module):
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh)
         if key_mask is not None:
             logits = jnp.where(key_mask[:, None, None, :], -1e9, logits)
+        if attn_mask is not None:
+            # (Lq, Lk) True = blocked (DN-DETR block structure)
+            logits = jnp.where(attn_mask[None, None, :, :], -1e9, logits)
         attn = jax.nn.softmax(logits, axis=-1)
         attn = nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)

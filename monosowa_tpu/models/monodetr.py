@@ -88,8 +88,8 @@ class MonoDETR(nn.Module):
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, calibs: jnp.ndarray,
-                 img_sizes: jnp.ndarray, training: bool = False
-                 ) -> Dict[str, Any]:
+                 img_sizes: jnp.ndarray, training: bool = False,
+                 dn_queries=None) -> Dict[str, Any]:
         """images (B, H, W, 3) normalized; calibs (B, 3, 4) P2; img_sizes
         (B, 2) as (width, height).  Returns the reference's output dict."""
         deterministic = not training
@@ -146,6 +146,35 @@ class MonoDETR(nn.Module):
         ref = jax.nn.sigmoid(
             nn.Dense(2, name="reference_points")(query_pos))  # (B, nq, 2)
 
+        # ------- optional DN-DETR denoising queries ---------------------
+        # (models/dn_components.py; reference dn_components.py:44-232 with
+        # use_dn — noised GT label embeddings + 6-dof refpoints prepended,
+        # block attention mask instead of the group fold)
+        num_dn = 0
+        self_attn_mask = None
+        if dn_queries is not None and training:
+            from monosowa_tpu.models.dn_components import build_joint_attn_mask
+            num_dn = dn_queries.num_dn
+            label_table = self.param(
+                "label_enc", nn.initializers.normal(1.0),
+                (self.num_classes + 1, self.d_model - 1))
+            dn_emb = label_table[dn_queries.label_ids]          # (B,N,d-1)
+            indicator = jnp.ones(dn_emb.shape[:-1] + (1,))
+            dn_tgt = jnp.concatenate([dn_emb, indicator], -1)
+            # matchable queries carry a zero indicator in their last channel
+            tgt = jnp.concatenate([dn_tgt, tgt.at[..., -1:].set(0.0)], 1)
+            query_pos = jnp.concatenate(
+                [jnp.zeros_like(dn_tgt), query_pos], 1)
+            # 6-dof refs everywhere: matchable edges start at sigmoid(-2)
+            ref6 = jnp.concatenate(
+                [ref, jnp.full(ref.shape[:-1] + (4,),
+                               jax.nn.sigmoid(-2.0))], -1)
+            ref = jnp.concatenate([dn_queries.refpoints, ref6], 1)
+            n_dn_groups = dn_queries.num_groups
+            self_attn_mask = build_joint_attn_mask(
+                n_dn_groups, num_dn // n_dn_groups, self.group_num,
+                self.num_queries)
+
         # ------- decoder with iterative refinement ---------------------
         heads_class = [nn.Dense(self.num_classes,
                                 bias_init=_focal_bias_init(),
@@ -176,7 +205,8 @@ class MonoDETR(nn.Module):
                 self.group_num, self.msda_backend,
                 name=f"decoder_layer{lid}")(
                 output, query_pos, ref_input, memory, spatial_shapes,
-                depth_embed_seq, training, deterministic)
+                depth_embed_seq, training, deterministic,
+                self_attn_mask=self_attn_mask)
             refs_before.append(ref)
             hs.append(output)
             # in-decoder refinement (detached, depthaware_transformer.py:601-613)
@@ -219,10 +249,19 @@ class MonoDETR(nn.Module):
                             "pred_3d_dim": size3d, "pred_angle": angle,
                             "pred_depth": depth})
 
+        if num_dn:
+            # split denoising slots off every layer's outputs
+            dn_outputs = [{k: o[k][:, :num_dn] for k in
+                           ("pred_logits", "pred_boxes")} for o in outputs]
+            outputs = [{k: (v[:, num_dn:] if k != "pred_depth_map_logits"
+                            else v) for k, v in o.items()} for o in outputs]
+
         out = dict(outputs[-1])
         out["pred_depth_map_logits"] = depth_logits
         out["aux_outputs"] = outputs[:-1]
         out["weighted_depth"] = weighted_depth
+        if num_dn:
+            out["dn_outputs"] = dn_outputs
         return out
 
 

@@ -180,7 +180,7 @@ class DepthAwareDecoderLayer(nn.Module):
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
                  depth_embed_seq, training: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True, self_attn_mask=None):
         # --- depth cross-attention -------------------------------------
         d_attn = MultiHeadAttention(self.n_heads, self.dropout,
                                     name="cross_attn_depth")(
@@ -196,7 +196,14 @@ class DepthAwareDecoderLayer(nn.Module):
         k_in = (nn.Dense(self.d_model, name="sa_kcontent_proj")(qk)
                 + nn.Dense(self.d_model, name="sa_kpos_proj")(qk))
         v_in = tgt
-        if training and self.group_num > 1:
+        if self_attn_mask is not None:
+            # DN-DETR path: the block mask encodes both group isolation and
+            # denoising-group isolation (models/dn_components.py)
+            s_attn = MultiHeadAttention(self.n_heads, self.dropout,
+                                        name="self_attn")(
+                q_in, k_in, v_in, attn_mask=self_attn_mask,
+                deterministic=deterministic)
+        elif training and self.group_num > 1:
             b, gq, d = q_in.shape
             g = self.group_num
             qn = gq // g
