@@ -191,6 +191,37 @@ def ddn_depth_map_loss(depth_logits: jnp.ndarray, targets: Targets,
     return jnp.sum(focal * weights) / num_pixels
 
 
+def _enc_layer_losses(out: Dict[str, jnp.ndarray], targets: Targets,
+                      match_idx: jnp.ndarray, num_boxes: jnp.ndarray,
+                      cfg: CriterionConfig) -> Dict[str, jnp.ndarray]:
+    """Two-stage encoder-proposal losses: class + box terms only (the enc
+    head has no depth/dim/angle outputs)."""
+    logits = out["pred_logits"]
+    boxes = out["pred_boxes"]
+    matched = match_idx >= 0
+    tgt_cls = _gather_targets(targets.labels, match_idx)
+    tgt_cls = jnp.where(matched, tgt_cls, cfg.num_classes)
+    onehot = jax.nn.one_hot(tgt_cls, cfg.num_classes + 1)[..., :-1]
+    p = jax.nn.sigmoid(logits)
+    ce = -(onehot * jnp.log(p + 1e-8) + (1 - onehot) * jnp.log(1 - p + 1e-8))
+    p_t = p * onehot + (1 - p) * (1 - onehot)
+    alpha_t = cfg.focal_alpha * onehot + (1 - cfg.focal_alpha) * (1 - onehot)
+    loss_ce = jnp.sum(alpha_t * (1 - p_t) ** cfg.focal_gamma * ce) / num_boxes
+
+    mask = matched.astype(jnp.float32)
+    tgt_boxes = _gather_targets(targets.boxes_3d, match_idx)
+    l1c = jnp.sum(jnp.abs(boxes[..., :2] - tgt_boxes[..., :2]), -1)
+    l1b = jnp.sum(jnp.abs(boxes[..., 2:6] - tgt_boxes[..., 2:6]), -1)
+    giou_pair = generalized_box_iou(
+        box_cxcylrtb_to_xyxy(boxes).reshape(-1, 1, 4),
+        box_cxcylrtb_to_xyxy(tgt_boxes).reshape(-1, 1, 4))[:, 0, 0]
+    return {"loss_ce": loss_ce,
+            "loss_center": jnp.sum(l1c * mask) / num_boxes,
+            "loss_bbox": jnp.sum(l1b * mask) / num_boxes,
+            "loss_giou": jnp.sum(
+                (1 - giou_pair.reshape(mask.shape)) * mask) / num_boxes}
+
+
 def criterion(outputs: Dict[str, Any], targets: Targets,
               cfg: CriterionConfig = CriterionConfig(),
               training: bool = True,
@@ -217,13 +248,24 @@ def criterion(outputs: Dict[str, Any], targets: Targets,
         for k, v in aux_l.items():
             losses[f"{k}_{i}"] = v
 
+    enc = outputs.get("enc_outputs")
+    if enc is not None:
+        s_tok = enc["pred_logits"].shape[1]
+        enc_idx = hungarian_match(enc["pred_logits"], enc["pred_boxes"],
+                                  targets.labels, targets.boxes_3d,
+                                  targets.valid, cfg.matcher, 1, s_tok)
+        for k, v in _enc_layer_losses(enc, targets, enc_idx, num_boxes,
+                                      cfg).items():
+            losses[f"{k}_enc"] = v
+
     weights = {"loss_ce": cfg.w_cls, "loss_center": cfg.w_center,
                "loss_bbox": cfg.w_bbox, "loss_giou": cfg.w_giou,
                "loss_depth": cfg.w_depth, "loss_dim": cfg.w_dim,
                "loss_angle": cfg.w_angle, "loss_depth_map": cfg.w_depth_map}
     total = jnp.float32(0.0)
     for k, v in losses.items():
-        base = k.rsplit("_", 1)[0] if k[-1].isdigit() else k
+        base = k[:-4] if k.endswith("_enc") else (
+            k.rsplit("_", 1)[0] if k[-1].isdigit() else k)
         if base in weights:
             total = total + weights[base] * v
     losses["loss_total"] = total

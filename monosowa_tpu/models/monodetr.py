@@ -85,6 +85,7 @@ class MonoDETR(nn.Module):
     depth_min: float = 1e-3
     depth_max: float = 60.0
     msda_backend: str = "xla"   # "pallas" = ops/msda_pallas VMEM kernel
+    two_stage: bool = False     # encoder-proposal branch (monodetr.py:234+)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, calibs: jnp.ndarray,
@@ -134,17 +135,55 @@ class MonoDETR(nn.Module):
             name="encoder")(src_flat, pos_flat, spatial_shapes, deterministic)
 
         # ------- queries ----------------------------------------------
-        query_table = self.param("query_embed", nn.initializers.normal(1.0),
-                                 (self.num_queries * self.group_num,
-                                  2 * self.d_model))
         nq = self.num_queries * self.group_num if training else self.num_queries
-        qe = query_table[:nq]
-        query_pos = jnp.broadcast_to(qe[None, :, :self.d_model],
-                                     (b, nq, self.d_model))
-        tgt = jnp.broadcast_to(qe[None, :, self.d_model:],
-                               (b, nq, self.d_model))
-        ref = jax.nn.sigmoid(
-            nn.Dense(2, name="reference_points")(query_pos))  # (B, nq, 2)
+        enc_outputs = None
+        if self.two_stage:
+            # two-stage branch (depthaware_transformer.py:234-257): encoder
+            # tokens propose 6-dof boxes; top-k by class score seed the
+            # decoder queries and reference points.
+            proposals = _encoder_proposals(spatial_shapes)         # (S, 6)
+            enc_mem = nn.LayerNorm(name="enc_output_norm")(
+                nn.Dense(self.d_model, name="enc_output")(memory))
+            enc_logits = nn.Dense(self.num_classes,
+                                  bias_init=_focal_bias_init(),
+                                  name="enc_class")(enc_mem)
+            enc_delta = BBoxEmbed(self.d_model, name="enc_bbox")(enc_mem)
+            enc_unact = enc_delta + inverse_sigmoid(proposals)[None]
+            enc_outputs = {"pred_logits": enc_logits,
+                           "pred_boxes": jax.nn.sigmoid(enc_unact)}
+            k = min(nq, enc_logits.shape[1])
+            _, top_idx = jax.lax.top_k(enc_logits[..., 0], k)      # (B, k)
+            top_unact = jax.lax.stop_gradient(jnp.take_along_axis(
+                enc_unact, top_idx[..., None], axis=1))            # (B,k,6)
+            ref = jax.nn.sigmoid(top_unact)
+            # proposal positional encoding -> (query_pos, tgt)
+            pos4 = jnp.concatenate(
+                [top_unact[..., :2],
+                 top_unact[..., 2:3] + top_unact[..., 3:4],
+                 top_unact[..., 4:5] + top_unact[..., 5:6]], -1)
+            sine = _proposal_pos_embed(pos4, self.d_model // 2)
+            trans = nn.LayerNorm(name="pos_trans_norm")(
+                nn.Dense(2 * self.d_model, name="pos_trans")(sine))
+            query_pos = trans[..., :self.d_model]
+            tgt = trans[..., self.d_model:]
+            if k < nq:
+                padq = jnp.zeros((b, nq - k, self.d_model))
+                query_pos = jnp.concatenate([query_pos, padq], 1)
+                tgt = jnp.concatenate([tgt, padq], 1)
+                ref = jnp.concatenate(
+                    [ref, jnp.full((b, nq - k, 6), 0.5)], 1)
+        else:
+            query_table = self.param("query_embed",
+                                     nn.initializers.normal(1.0),
+                                     (self.num_queries * self.group_num,
+                                      2 * self.d_model))
+            qe = query_table[:nq]
+            query_pos = jnp.broadcast_to(qe[None, :, :self.d_model],
+                                         (b, nq, self.d_model))
+            tgt = jnp.broadcast_to(qe[None, :, self.d_model:],
+                                   (b, nq, self.d_model))
+            ref = jax.nn.sigmoid(
+                nn.Dense(2, name="reference_points")(query_pos))  # (B,nq,2)
 
         # ------- optional DN-DETR denoising queries ---------------------
         # (models/dn_components.py; reference dn_components.py:44-232 with
@@ -262,7 +301,36 @@ class MonoDETR(nn.Module):
         out["weighted_depth"] = weighted_depth
         if num_dn:
             out["dn_outputs"] = dn_outputs
+        if enc_outputs is not None:
+            out["enc_outputs"] = enc_outputs
         return out
+
+
+def _encoder_proposals(spatial_shapes) -> jnp.ndarray:
+    """Per-token 6-dof proposals: grid centers + 0.05*2^lvl half-extents
+    (gen_encoder_output_proposals semantics)."""
+    rows = []
+    for lvl, (h, w) in enumerate(spatial_shapes):
+        ys = (np.arange(h, dtype=np.float32) + 0.5) / h
+        xs = (np.arange(w, dtype=np.float32) + 0.5) / w
+        gy, gx = np.meshgrid(ys, xs, indexing="ij")
+        half = 0.05 * (2.0 ** lvl) / 2.0
+        n = h * w
+        rows.append(np.stack(
+            [gx.reshape(-1), gy.reshape(-1)] + [np.full(n, half)] * 4, -1))
+    prop = np.concatenate(rows, 0).astype(np.float32)
+    return jnp.asarray(np.clip(prop, 0.01, 0.99))
+
+
+def _proposal_pos_embed(pos4: jnp.ndarray, num_feats: int = 128,
+                        temperature: float = 10000.0) -> jnp.ndarray:
+    """Sine embedding of 4-dof proposals -> (..., 4 * num_feats)
+    (get_proposal_pos_embed)."""
+    scale = 2 * jnp.pi
+    dim_t = temperature ** (2 * (jnp.arange(num_feats) // 2) / num_feats)
+    x = pos4[..., None] * scale / dim_t                 # (..., 4, F)
+    emb = jnp.stack([jnp.sin(x[..., 0::2]), jnp.cos(x[..., 1::2])], -1)
+    return emb.reshape(pos4.shape[:-1] + (4 * num_feats,))
 
 
 def _sample_depth_map(depth_map: jnp.ndarray, centers: jnp.ndarray
@@ -314,4 +382,5 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         depth_min=float(cfg.get("depth_min", 1e-3)),
         depth_max=float(cfg.get("depth_max", 60.0)),
         msda_backend=cfg.get("msda_backend", "xla"),
+        two_stage=bool(cfg.get("two_stage", False)),
     )
