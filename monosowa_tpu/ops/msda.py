@@ -66,18 +66,10 @@ def _bilinear_gather(value_l: jnp.ndarray, loc: jnp.ndarray,
             + v10 * wx0 * wy1 + v11 * wx1 * wy1)
 
 
-def ms_deform_attn(value: jnp.ndarray,
-                   spatial_shapes: Sequence[Tuple[int, int]],
-                   sampling_locations: jnp.ndarray,
-                   attention_weights: jnp.ndarray) -> jnp.ndarray:
-    """Pure-XLA multi-scale deformable attention core.
-
-    value: (B, sum(H*W), M, D) flattened multi-level features;
-    spatial_shapes: static [(H, W), ...] per level;
-    sampling_locations: (B, Q, M, L, P, 2) in [0, 1];
-    attention_weights: (B, Q, M, L, P), softmaxed over (L, P).
-    Returns (B, Q, M*D).
-    """
+def _msda_core(value: jnp.ndarray,
+               spatial_shapes: Sequence[Tuple[int, int]],
+               sampling_locations: jnp.ndarray,
+               attention_weights: jnp.ndarray) -> jnp.ndarray:
     b, _, m, d = value.shape
     q = sampling_locations.shape[1]
     outputs = []
@@ -91,3 +83,52 @@ def ms_deform_attn(value: jnp.ndarray,
                                   attention_weights[:, :, :, lvl]))
     out = sum(outputs)
     return out.reshape(b, q, m * d)
+
+
+def ms_deform_attn(value: jnp.ndarray,
+                   spatial_shapes: Sequence[Tuple[int, int]],
+                   sampling_locations: jnp.ndarray,
+                   attention_weights: jnp.ndarray,
+                   chunk_q: int = 2048) -> jnp.ndarray:
+    """Pure-XLA multi-scale deformable attention core.
+
+    value: (B, sum(H*W), M, D) flattened multi-level features;
+    spatial_shapes: static [(H, W), ...] per level;
+    sampling_locations: (B, Q, M, L, P, 2) in [0, 1];
+    attention_weights: (B, Q, M, L, P), softmaxed over (L, P).
+    Returns (B, Q, M*D).
+
+    chunk_q bounds the gather staging temps: the (B, Q*M*P, D) corner
+    gathers pad their D=32 minor dim to 128 lanes (4x HBM expansion), so at
+    encoder Q (~10k) an unchunked pass allocates multi-GB temps and OOMs a
+    16 GB chip at batch 8.  Queries are swept in chunk_q slices under
+    lax.map, which reuses one chunk-sized buffer across iterations.
+    """
+    b, _, m, d = value.shape
+    q = sampling_locations.shape[1]
+    if q <= chunk_q:
+        return _msda_core(value, spatial_shapes, sampling_locations,
+                          attention_weights)
+    pad = (-q) % chunk_q
+    if pad:
+        sampling_locations = jnp.concatenate(
+            [sampling_locations,
+             jnp.zeros((b, pad) + sampling_locations.shape[2:],
+                       sampling_locations.dtype)], 1)
+        attention_weights = jnp.concatenate(
+            [attention_weights,
+             jnp.zeros((b, pad) + attention_weights.shape[2:],
+                       attention_weights.dtype)], 1)
+    n = (q + pad) // chunk_q
+    locs = jnp.moveaxis(sampling_locations.reshape(
+        (b, n, chunk_q) + sampling_locations.shape[2:]), 1, 0)
+    wts = jnp.moveaxis(attention_weights.reshape(
+        (b, n, chunk_q) + attention_weights.shape[2:]), 1, 0)
+    # remat the chunk body: without it autodiff stacks every chunk's
+    # (B, chunk, M, P, D) gather residuals across the map — the same
+    # multi-GB footprint chunking is here to avoid.
+    core = jax.checkpoint(
+        lambda lw: _msda_core(value, spatial_shapes, lw[0], lw[1]))
+    out = jax.lax.map(core, (locs, wts))            # (n, B, chunk_q, M*D)
+    out = jnp.moveaxis(out, 0, 1).reshape(b, q + pad, m * d)
+    return out[:, :q]

@@ -65,3 +65,21 @@ def test_msda_gradients_flow():
     assert np.isfinite(np.asarray(gv)).all()
     assert np.abs(np.asarray(gl)).max() > 0     # sampling-location grads exist
     assert np.abs(np.asarray(gw)).max() > 0
+
+
+def test_msda_chunked_matches_unchunked():
+    import numpy as np
+    import jax.numpy as jnp
+    from monosowa_tpu.ops.msda import ms_deform_attn
+    shapes = ((8, 16), (4, 8))
+    b, m, d, p = 2, 4, 8, 3
+    s = sum(h * w for h, w in shapes)
+    q = 50   # not a multiple of chunk -> exercises padding
+    r = np.random.default_rng(3)
+    v = jnp.asarray(r.normal(size=(b, s, m, d)).astype(np.float32))
+    loc = jnp.asarray(r.uniform(0, 1, (b, q, m, 2, p, 2)).astype(np.float32))
+    w = jnp.asarray(r.uniform(size=(b, q, m, 2, p)).astype(np.float32))
+    full = ms_deform_attn(v, shapes, loc, w, chunk_q=q)
+    chunked = ms_deform_attn(v, shapes, loc, w, chunk_q=16)
+    np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
+                               rtol=1e-5, atol=1e-5)

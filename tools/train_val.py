@@ -32,17 +32,57 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def build_loader(ds, batch_size, shuffle, seed=444):
+def build_loader(ds, batch_size, shuffle, seed=444, prefetch=4, workers=4):
+    """Shuffled epoch iterator with a thread pool assembling batches ahead
+    of the device step (the reference's torch DataLoader(num_workers=4)
+    role, train_val.py:60-66)."""
+    import queue
+    import threading
+    from concurrent.futures import ThreadPoolExecutor
+
     from monosowa_tpu.data.kitti_dataset import collate
 
     rng = np.random.default_rng(seed)
+
+    def make_batch(idxs):
+        return collate([ds[int(j)] for j in idxs])
 
     def epoch_iter():
         order = np.arange(len(ds))
         if shuffle:
             rng.shuffle(order)
-        for i in range(0, len(order) - batch_size + 1, batch_size):
-            yield collate([ds[int(j)] for j in order[i:i + batch_size]])
+        starts = list(range(0, len(order) - batch_size + 1, batch_size))
+        q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+        pool = ThreadPoolExecutor(max_workers=workers)
+
+        def producer():
+            # sliding window: at most `prefetch` batches in flight/buffered
+            from collections import deque
+            window: deque = deque()
+            it = iter(starts)
+            for _ in range(prefetch):
+                s = next(it, None)
+                if s is None:
+                    break
+                window.append(pool.submit(make_batch, order[s:s + batch_size]))
+            while window:
+                q.put(window.popleft().result())
+                s = next(it, None)
+                if s is not None:
+                    window.append(
+                        pool.submit(make_batch, order[s:s + batch_size]))
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = q.get()
+                if b is None:
+                    break
+                yield b
+        finally:
+            pool.shutdown(wait=False, cancel_futures=True)
 
     return epoch_iter
 
