@@ -138,7 +138,9 @@ class PseudoLabeler:
                                 self.memb_kernels, self.conv_spec, cfg.fit)
             center = np.stack([np.asarray(res.x)[:n], np.asarray(res.y)[:n],
                                np.asarray(res.z)[:n]], 1)
-            theta = np.asarray(res.theta)[:n]
+            # .copy(): np.asarray of a jax array is a read-only view and the
+            # re-fit path below writes into theta in place
+            theta = np.asarray(res.theta)[:n].copy()
         lwh = np.tile(np.array([l, w, h], np.float32), (n, 1))
         npts = np.array([p.shape[0] for p in points[:n]], np.float32)
 
@@ -249,10 +251,8 @@ class PseudoLabeler:
         large batch per group of frames instead of per-frame dispatches.
         """
         cfg = self.cfg
-        prepared = []
-        for job in frame_jobs:
-            if os.path.exists(job["out_path"]) and not overwrite:
-                continue
+
+        def prep(job):
             window_frames = job["window_frames"]
             cands = []
             for k in range(len(window_frames)):
@@ -270,9 +270,20 @@ class PseudoLabeler:
             kept, points, ref_masks = aggregation.aggregate_tracks(
                 tracks, job["transforms"], window_frames, cfg.keep_k_frames,
                 cfg.min_standing_points)
-            prepared.append(dict(job=job, kept=kept, points=points,
-                                 ref_masks=ref_masks,
-                                 window=window_frames))
+            return dict(job=job, kept=kept, points=points,
+                        ref_masks=ref_masks, window=window_frames)
+
+        # host prep (mask erosion / projection / tracking — numpy + scipy,
+        # GIL-releasing) threads across frames so it overlaps rather than
+        # serializes ahead of the one big device fit
+        todo = [j for j in frame_jobs
+                if overwrite or not os.path.exists(j["out_path"])]
+        if len(todo) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
+                prepared = list(pool.map(prep, todo))
+        else:
+            prepared = [prep(j) for j in todo]
 
         # one cross-frame batched fit for every prepared car
         all_tracks, all_points, owners = [], [], []
