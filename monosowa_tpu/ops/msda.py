@@ -89,7 +89,7 @@ def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Sequence[Tuple[int, int]],
                    sampling_locations: jnp.ndarray,
                    attention_weights: jnp.ndarray,
-                   chunk_q: int = 2048) -> jnp.ndarray:
+                   chunk_q: int = 1024) -> jnp.ndarray:
     """Pure-XLA multi-scale deformable attention core.
 
     value: (B, sum(H*W), M, D) flattened multi-level features;
