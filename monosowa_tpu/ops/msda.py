@@ -1,4 +1,4 @@
-"""Multi-scale deformable attention — pure-XLA core.
+"""Multi-scale deformable attention — pure-XLA core with a custom TPU VJP.
 
 Behavioral spec: the reference's pure-pytorch oracle
 ``ms_deform_attn_core_pytorch`` (MonoDETR/lib/models/monodetr/ops/functions/
@@ -10,15 +10,20 @@ same math; its parity test (ops/test.py:30-89) is mirrored by
 tests/test_msda.py against a torch oracle.
 
 TPU design notes: bilinear sampling = 4 gathers + lerp, fully vectorized;
-gathers are flattened per level into one take_along_axis on a (B, H*W, M*D)
-table so XLA emits a single fused gather per level.  Autodiff provides the
-backward pass (the reference ships a hand-written col2im kernel; XLA derives
-the scatter automatically).  Static level shapes are compile-time constants —
-no level_start_index bookkeeping survives tracing.
+gathers are flattened per level into one take_along_axis per corner.  The
+backward is a hand-written custom_vjp (the reference ships a hand-written
+col2im CUDA kernel for the same reason): XLA's derived scatter-add for the
+value gradient serializes on TPU (~1e8 rows/s; measured 1.7 s/layer/step at
+training shapes), so dValue is instead accumulated with chunked one-hot
+MATMULS on the MXU — the same scatter->matmul trick as the template-fitting
+histogram in ops/tfl.py — while dLoc/dW come from an analytic bilinear
+derivative over regathered corner values.  Static level shapes are
+compile-time constants — no level_start_index bookkeeping survives tracing.
 """
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence, Tuple
 
 import jax
@@ -34,36 +39,50 @@ def _bilinear_gather(value_l: jnp.ndarray, loc: jnp.ndarray,
     padding_mode='zeros'): pixel x = loc_x * W - 0.5.
     """
     b, hw, m, d = value_l.shape
+    vflat = value_l.reshape(b, hw * m, d)
+    out = None
+    for flat, cw, _, _, inb in _corner_geometry(loc, h, w):
+        v = _gather_rows(vflat, flat, m, d)
+        term = v * (cw * inb)[..., None]
+        out = term if out is None else out + term
+    return out
+
+
+def _corner_geometry(loc: jnp.ndarray, h: int, w: int):
+    """The four bilinear corners of each sample.
+
+    loc (..., 2) in [0, 1] -> per corner: (flat_index, weight, dweight/dx,
+    dweight/dy, in_bounds) with grid_sample(align_corners=False) semantics.
+    """
     x = loc[..., 0] * w - 0.5
     y = loc[..., 1] * h - 0.5
     x0 = jnp.floor(x)
     y0 = jnp.floor(y)
     dx = x - x0
     dy = y - y0
+    corners = []
+    for cx, cy, cw, dwx, dwy in (
+            (x0, y0, (1 - dx) * (1 - dy), -(1 - dy), -(1 - dx)),
+            (x0 + 1, y0, dx * (1 - dy), (1 - dy), -dx),
+            (x0, y0 + 1, (1 - dx) * dy, -dy, (1 - dx)),
+            (x0 + 1, y0 + 1, dx * dy, dy, dx)):
+        inb = ((cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)).astype(loc.dtype)
+        xi = jnp.clip(cx, 0, w - 1).astype(jnp.int32)
+        yi = jnp.clip(cy, 0, h - 1).astype(jnp.int32)
+        corners.append((yi * w + xi, cw, dwx, dwy, inb))
+    return corners
 
-    def corner(xc, yc):
-        inb = (xc >= 0) & (xc < w) & (yc >= 0) & (yc < h)
-        xi = jnp.clip(xc, 0, w - 1).astype(jnp.int32)
-        yi = jnp.clip(yc, 0, h - 1).astype(jnp.int32)
-        flat = yi * w + xi                                   # (B, Q, M, P)
-        bq = flat.shape[1] * flat.shape[2] * flat.shape[3]
-        # gather rows of (B, H*W, M*D) at per-(query,head) positions:
-        # index by head too, so flatten value to (B, H*W * M, D)
-        vflat = value_l.reshape(b, hw * m, d)
-        midx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, 2)
-        rows = flat * m + midx
-        out = jnp.take_along_axis(
-            vflat, rows.reshape(b, bq, 1), axis=1).reshape(flat.shape + (d,))
-        return out * inb[..., None]
 
-    v00 = corner(x0, y0)
-    v01 = corner(x0 + 1, y0)
-    v10 = corner(x0, y0 + 1)
-    v11 = corner(x0 + 1, y0 + 1)
-    wx0, wx1 = (1 - dx)[..., None], dx[..., None]
-    wy0, wy1 = (1 - dy)[..., None], dy[..., None]
-    return (v00 * wx0 * wy0 + v01 * wx1 * wy0
-            + v10 * wx0 * wy1 + v11 * wx1 * wy1)
+def _gather_rows(vflat: jnp.ndarray, flat: jnp.ndarray, m: int, d: int
+                 ) -> jnp.ndarray:
+    """vflat (B, HW*M, D); flat (B, ..., M, P) level-local token indices ->
+    (B, ..., M, P, D) rows indexed per head."""
+    b = vflat.shape[0]
+    midx = jax.lax.broadcasted_iota(jnp.int32, flat.shape, flat.ndim - 2)
+    rows = flat * m + midx
+    n = rows.size // b
+    out = jnp.take_along_axis(vflat, rows.reshape(b, n, 1), axis=1)
+    return out.reshape(flat.shape + (d,))
 
 
 def _msda_core(value: jnp.ndarray,
@@ -85,11 +104,160 @@ def _msda_core(value: jnp.ndarray,
     return out.reshape(b, q, m * d)
 
 
+def _chunk_leading_q(arrs, q, chunk_q):
+    """Pad axis 1 to a chunk_q multiple and reshape to (n, B, chunk_q, ...)
+    for lax.map sweeps."""
+    b = arrs[0].shape[0]
+    pad = (-q) % chunk_q
+    out = []
+    for a in arrs:
+        if pad:
+            a = jnp.concatenate(
+                [a, jnp.zeros((b, pad) + a.shape[2:], a.dtype)], 1)
+        n = (q + pad) // chunk_q
+        out.append(jnp.moveaxis(
+            a.reshape((b, n, chunk_q) + a.shape[2:]), 1, 0))
+    return out
+
+
+def _msda_fwd_chunked(value, spatial_shapes, loc, w, chunk_q):
+    b, _, m, d = value.shape
+    q = loc.shape[1]
+    if q <= chunk_q:
+        return _msda_core(value, spatial_shapes, loc, w)
+    locs, wts = _chunk_leading_q((loc, w), q, chunk_q)
+    out = jax.lax.map(
+        lambda lw: _msda_core(value, spatial_shapes, lw[0], lw[1]),
+        (locs, wts))                                # (n, B, chunk_q, M*D)
+    qp = locs.shape[0] * chunk_q
+    out = jnp.moveaxis(out, 0, 1).reshape(b, qp, m * d)
+    return out[:, :q]
+
+
+def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
+              onehot_dtype):
+    """Hand-written VJP.  dout (B, Q, M*D) -> (dvalue, dloc, dw).
+
+    dLoc/dW: analytic bilinear derivatives over regathered corner values,
+    swept in chunk_q query chunks.  dValue: per level, samples are folded
+    into (token-one-hot x coefficient) matrices and contracted against the
+    incoming gradient rows on the MXU in dv_chunk_q query chunks — a dense
+    formulation of the scatter-add that XLA would otherwise serialize.
+    """
+    b, s, m, d = value.shape
+    q = loc.shape[1]
+    n_levels = len(spatial_shapes)
+    n_points = loc.shape[4]
+    dout_r = dout.reshape(b, q, m, d)
+
+    locs, wts, douts = _chunk_leading_q((loc, w, dout_r), q, chunk_q)
+    starts = []
+    acc = 0
+    for h, w_l in spatial_shapes:
+        starts.append(acc)
+        acc += h * w_l
+
+    # ---- dLoc / dW ------------------------------------------------------
+    def locw_chunk(args):
+        loc_c, aw_c, do_c = args      # (B,C,M,L,P,2) (B,C,M,L,P) (B,C,M,D)
+        dls, dws = [], []
+        for lvl, (h, w_l) in enumerate(spatial_shapes):
+            value_l = jax.lax.dynamic_slice_in_dim(
+                value, starts[lvl], h * w_l, axis=1)
+            vflat = value_l.reshape(b, h * w_l * m, d)
+            g = []
+            geom = _corner_geometry(loc_c[:, :, :, lvl], h, w_l)
+            for flat, cw, dwx, dwy, inb in geom:
+                v = _gather_rows(vflat, flat, m, d)
+                g.append(jnp.einsum("bqmpd,bqmd->bqmp", v, do_c)
+                         * inb)                          # (B,C,M,P)
+            dw_l = sum(geom[i][1] * g[i] for i in range(4))
+            aw_l = aw_c[:, :, :, lvl]
+            dx_l = aw_l * w_l * sum(geom[i][2] * g[i] for i in range(4))
+            dy_l = aw_l * h * sum(geom[i][3] * g[i] for i in range(4))
+            dls.append(jnp.stack([dx_l, dy_l], -1))      # (B,C,M,P,2)
+            dws.append(dw_l)
+        return jnp.stack(dls, 3), jnp.stack(dws, 3)      # (B,C,M,L,P,*)
+
+    dl_chunks, dw_chunks = jax.lax.map(locw_chunk, (locs, wts, douts))
+    qp = locs.shape[0] * chunk_q
+    dloc = jnp.moveaxis(dl_chunks, 0, 1).reshape(
+        (b, qp) + dl_chunks.shape[3:])[:, :q]
+    dw = jnp.moveaxis(dw_chunks, 0, 1).reshape(
+        (b, qp) + dw_chunks.shape[3:])[:, :q]
+
+    # ---- dValue ----------------------------------------------------------
+    locs_v, wts_v, douts_v = _chunk_leading_q((loc, w, dout_r), q, dv_chunk_q)
+    dvalue_levels = []
+    for lvl, (h, w_l) in enumerate(spatial_shapes):
+        t_l = h * w_l
+        iota_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t_l), 3)
+
+        def dv_chunk(args, lvl=lvl, t_l=t_l, iota_t=iota_t):
+            loc_c, aw_c, do_c = args
+            geom = _corner_geometry(loc_c[:, :, :, lvl], h, w_l)
+            rows = jnp.stack([c[0] for c in geom], 3)     # (B,C,M,4,P)?
+            coef = jnp.stack([c[1] * c[4] for c in geom], 3)
+            # (B, C, M, 4, P) -> samples j = (q, corner, p) per (b, m)
+            rows = jnp.moveaxis(rows, 2, -1)              # (B,C,4,P,M)
+            coef = jnp.moveaxis(coef, 2, -1) * jnp.moveaxis(
+                aw_c[:, :, :, lvl], 2, -1)[:, :, None]
+            cq = rows.shape[1]
+            j = cq * 4 * n_points
+            rows = jnp.moveaxis(rows, -1, 1).reshape(b, m, j)
+            coef = jnp.moveaxis(coef, -1, 1).reshape(b, m, j)
+            onehot = (rows[..., None] == iota_t).astype(onehot_dtype) \
+                * coef[..., None].astype(onehot_dtype)    # (B,M,J,T)
+            # dO rows per sample: (B,C,M,D) -> (B,M,C,1,D) tiled over (4,P)
+            do_s = jnp.moveaxis(do_c, 2, 1)[:, :, :, None, :]
+            do_s = jnp.broadcast_to(
+                do_s, (b, m, cq, 4 * n_points, d)).reshape(b, m, j, d)
+            return jax.lax.dot_general(
+                onehot, do_s.astype(onehot_dtype),
+                (((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32)       # (B,M,T,D)
+
+        # scan (not map): accumulate into one (B, M, T, D) carry instead of
+        # stacking n_chunks copies of it
+        dv_l, _ = jax.lax.scan(
+            lambda acc, args: (acc + dv_chunk(args), None),
+            jnp.zeros((b, m, t_l, d), jnp.float32),
+            (locs_v, wts_v, douts_v))
+        dvalue_levels.append(jnp.moveaxis(dv_l, 1, 2))    # (B,T,M,D)
+    dvalue = jnp.concatenate(dvalue_levels, 1).astype(value.dtype)
+    return dvalue, dloc, dw
+
+
+@functools.lru_cache(maxsize=None)
+def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...], chunk_q: int,
+               dv_chunk_q: int, onehot_dtype_name: str):
+    onehot_dtype = jnp.dtype(onehot_dtype_name)
+
+    @jax.custom_vjp
+    def f(value, loc, w):
+        return _msda_fwd_chunked(value, spatial_shapes, loc, w, chunk_q)
+
+    def f_fwd(value, loc, w):
+        out = _msda_fwd_chunked(value, spatial_shapes, loc, w, chunk_q)
+        return out, (value, loc, w)
+
+    def f_bwd(res, dout):
+        value, loc, w = res
+        return _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q,
+                         dv_chunk_q, onehot_dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def ms_deform_attn(value: jnp.ndarray,
                    spatial_shapes: Sequence[Tuple[int, int]],
                    sampling_locations: jnp.ndarray,
                    attention_weights: jnp.ndarray,
-                   chunk_q: int = 1024) -> jnp.ndarray:
+                   chunk_q: int = 1024,
+                   dv_chunk_q: int = 32,
+                   onehot_dtype: str = "float32",
+                   custom_vjp: bool = True) -> jnp.ndarray:
     """Pure-XLA multi-scale deformable attention core.
 
     value: (B, sum(H*W), M, D) flattened multi-level features;
@@ -98,37 +266,28 @@ def ms_deform_attn(value: jnp.ndarray,
     attention_weights: (B, Q, M, L, P), softmaxed over (L, P).
     Returns (B, Q, M*D).
 
-    chunk_q bounds the gather staging temps: the (B, Q*M*P, D) corner
-    gathers pad their D=32 minor dim to 128 lanes (4x HBM expansion), so at
-    encoder Q (~10k) an unchunked pass allocates multi-GB temps and OOMs a
-    16 GB chip at batch 8.  Queries are swept in chunk_q slices under
-    lax.map, which reuses one chunk-sized buffer across iterations.
+    chunk_q bounds the gather staging temps (the (B, Q*M*P, D) corner
+    gathers pad D=32 to 128 lanes, 4x HBM expansion — unchunked encoder
+    passes OOM a 16 GB chip at batch 8); dv_chunk_q bounds the one-hot
+    dValue matrices in the custom backward; onehot_dtype="bfloat16" halves
+    their bandwidth at ~0.5% gradient error.  custom_vjp=False falls back
+    to XLA autodiff (the serialized scatter) — kept for parity testing.
     """
-    b, _, m, d = value.shape
-    q = sampling_locations.shape[1]
-    if q <= chunk_q:
-        return _msda_core(value, spatial_shapes, sampling_locations,
-                          attention_weights)
-    pad = (-q) % chunk_q
-    if pad:
-        sampling_locations = jnp.concatenate(
-            [sampling_locations,
-             jnp.zeros((b, pad) + sampling_locations.shape[2:],
-                       sampling_locations.dtype)], 1)
-        attention_weights = jnp.concatenate(
-            [attention_weights,
-             jnp.zeros((b, pad) + attention_weights.shape[2:],
-                       attention_weights.dtype)], 1)
-    n = (q + pad) // chunk_q
-    locs = jnp.moveaxis(sampling_locations.reshape(
-        (b, n, chunk_q) + sampling_locations.shape[2:]), 1, 0)
-    wts = jnp.moveaxis(attention_weights.reshape(
-        (b, n, chunk_q) + attention_weights.shape[2:]), 1, 0)
-    # remat the chunk body: without it autodiff stacks every chunk's
-    # (B, chunk, M, P, D) gather residuals across the map — the same
-    # multi-GB footprint chunking is here to avoid.
-    core = jax.checkpoint(
-        lambda lw: _msda_core(value, spatial_shapes, lw[0], lw[1]))
-    out = jax.lax.map(core, (locs, wts))            # (n, B, chunk_q, M*D)
-    out = jnp.moveaxis(out, 0, 1).reshape(b, q + pad, m * d)
-    return out[:, :q]
+    if not custom_vjp:
+        q = sampling_locations.shape[1]
+        if q <= chunk_q:
+            return _msda_core(value, spatial_shapes, sampling_locations,
+                              attention_weights)
+        # remat the chunk body: without it autodiff stacks every chunk's
+        # (B, chunk, M, P, D) gather residuals across the map.
+        b, _, m, d = value.shape
+        locs, wts = _chunk_leading_q(
+            (sampling_locations, attention_weights), q, chunk_q)
+        core = jax.checkpoint(
+            lambda lw: _msda_core(value, spatial_shapes, lw[0], lw[1]))
+        out = jax.lax.map(core, (locs, wts))
+        qp = locs.shape[0] * chunk_q
+        return jnp.moveaxis(out, 0, 1).reshape(b, qp, m * d)[:, :q]
+    fn = _make_msda(tuple(tuple(s) for s in spatial_shapes), chunk_q,
+                    dv_chunk_q, onehot_dtype)
+    return fn(value, sampling_locations, attention_weights)

@@ -83,3 +83,55 @@ def test_msda_chunked_matches_unchunked():
     chunked = ms_deform_attn(v, shapes, loc, w, chunk_q=16)
     np.testing.assert_allclose(np.asarray(full), np.asarray(chunked),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_msda_custom_vjp_matches_autodiff():
+    """Hand-written backward (one-hot-matmul dValue + analytic bilinear
+    dLoc/dW) vs XLA autodiff of the same forward."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from monosowa_tpu.ops.msda import ms_deform_attn
+    shapes = ((6, 10), (3, 5))
+    b, m, d, p, q = 2, 4, 8, 3, 45
+    s = sum(h * w for h, w in shapes)
+    r = np.random.default_rng(7)
+    v = jnp.asarray(r.normal(size=(b, s, m, d)).astype(np.float32))
+    # includes out-of-bounds samples (loc slightly outside [0, 1])
+    loc = jnp.asarray(r.uniform(-0.1, 1.1, (b, q, m, 2, p, 2)).astype(np.float32))
+    w = jnp.asarray(r.uniform(size=(b, q, m, 2, p)).astype(np.float32))
+
+    def loss(fn_kwargs):
+        return lambda v, l, w: jnp.sum(
+            ms_deform_attn(v, shapes, l, w, **fn_kwargs) ** 2)
+
+    out_c = ms_deform_attn(v, shapes, loc, w, chunk_q=16)
+    out_a = ms_deform_attn(v, shapes, loc, w, custom_vjp=False)
+    np.testing.assert_allclose(np.asarray(out_c), np.asarray(out_a),
+                               rtol=1e-5, atol=1e-5)
+
+    g_c = jax.grad(loss(dict(chunk_q=16, dv_chunk_q=8)), (0, 1, 2))(v, loc, w)
+    g_a = jax.grad(loss(dict(custom_vjp=False)), (0, 1, 2))(v, loc, w)
+    for gc, ga, name in zip(g_c, g_a, ("value", "loc", "w")):
+        np.testing.assert_allclose(np.asarray(gc), np.asarray(ga),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_msda_custom_vjp_bf16_onehot_close():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from monosowa_tpu.ops.msda import ms_deform_attn
+    shapes = ((6, 10),)
+    b, m, d, p, q = 1, 2, 8, 2, 20
+    s = 60
+    r = np.random.default_rng(3)
+    v = jnp.asarray(r.normal(size=(b, s, m, d)).astype(np.float32))
+    loc = jnp.asarray(r.uniform(0, 1, (b, q, m, 1, p, 2)).astype(np.float32))
+    w = jnp.asarray(r.uniform(size=(b, q, m, 1, p)).astype(np.float32))
+    loss = lambda kw: (lambda v_: jnp.sum(
+        ms_deform_attn(v_, shapes, loc, w, **kw) ** 2))
+    g16 = jax.grad(loss(dict(onehot_dtype="bfloat16", dv_chunk_q=8)))(v)
+    g32 = jax.grad(loss(dict(custom_vjp=False)))(v)
+    scale = float(jnp.max(jnp.abs(g32))) + 1e-6
+    assert float(jnp.max(jnp.abs(g16 - g32))) / scale < 0.02
