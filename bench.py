@@ -37,7 +37,8 @@ def main():
                                            fit_cars_conv, make_conv_kernels)
     from monosowa_tpu.sowa.templates import TemplateBank
 
-    n_cars = 16
+    import os
+    n_cars = int(os.environ.get("BENCH_N_CARS", "32"))
     n_pts = 2048
     rng = np.random.default_rng(0)
     bank = TemplateBank.default()
@@ -75,10 +76,12 @@ def main():
 
     import sys
 
-    # compile + warmup
+    # compile + warmup.  Timing pulls a value to host (device_get): on the
+    # remote-execution tunnel, block_until_ready alone can return at enqueue
+    # time and fake sub-ms iterations.
     t0 = time.perf_counter()
     res = fit_cars_conv(batches[-1], template, occ_k, memb_k, spec, cfg)
-    jax.block_until_ready(res)
+    _ = float(np.asarray(res.theta).sum())
     print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
@@ -86,7 +89,7 @@ def main():
     for i in range(iters):
         t0 = time.perf_counter()
         res = fit_cars_conv(batches[i], template, occ_k, memb_k, spec, cfg)
-        jax.block_until_ready(res)
+        _ = float(np.asarray(res.theta).sum())
         times.append(time.perf_counter() - t0)
         print(f"# iter {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)
     dt = float(np.median(times))
