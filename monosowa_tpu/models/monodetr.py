@@ -205,10 +205,12 @@ class MonoDETR(nn.Module):
             query_pos = jnp.concatenate(
                 [jnp.zeros_like(dn_tgt), query_pos], 1)
             # 6-dof refs everywhere: matchable edges start at sigmoid(-2)
-            ref6 = jnp.concatenate(
-                [ref, jnp.full(ref.shape[:-1] + (4,),
-                               jax.nn.sigmoid(-2.0))], -1)
-            ref = jnp.concatenate([dn_queries.refpoints, ref6], 1)
+            # (two_stage refs are already 6-dof proposals — keep them)
+            if ref.shape[-1] == 2:
+                ref = jnp.concatenate(
+                    [ref, jnp.full(ref.shape[:-1] + (4,),
+                                   jax.nn.sigmoid(-2.0))], -1)
+            ref = jnp.concatenate([dn_queries.refpoints, ref], 1)
             n_dn_groups = dn_queries.num_groups
             self_attn_mask = build_joint_attn_mask(
                 n_dn_groups, num_dn // n_dn_groups, self.group_num,
