@@ -74,3 +74,27 @@ def test_two_stage_criterion():
     losses = criterion(out, tg, cfg, training=True)
     assert "loss_ce_enc" in losses and "loss_giou_enc" in losses
     assert np.isfinite(float(losses["loss_total"]))
+
+
+def test_two_stage_with_dn():
+    from monosowa_tpu.models import dn_components as dn
+    model = MonoDETR(enc_layers=1, dec_layers=2, group_num=2, d_model=64,
+                     d_ffn=64, nheads=4, num_queries=10, num_depth_bins=16,
+                     two_stage=True)
+    images, calibs, sizes = _inputs()
+    rng = np.random.default_rng(0)
+    M = 3
+    labels = jnp.asarray(rng.integers(0, 3, (B, M)))
+    boxes = np.zeros((B, M, 6), np.float32)
+    boxes[..., :2] = rng.uniform(0.3, 0.7, (B, M, 2))
+    boxes[..., 2:] = rng.uniform(0.05, 0.2, (B, M, 4))
+    q = dn.prepare_dn(jax.random.PRNGKey(0), labels, jnp.asarray(boxes),
+                      jnp.asarray(np.ones((B, M), bool)), num_queries=10,
+                      cfg=dn.DNConfig(scalar=2))
+    variables = model.init(jax.random.PRNGKey(1), images, calibs, sizes,
+                           training=True, dn_queries=q)
+    out = model.apply(variables, images, calibs, sizes, training=True,
+                      dn_queries=q, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert out["pred_boxes"].shape == (B, 20, 6)
+    assert out["dn_outputs"][-1]["pred_boxes"].shape == (B, 2 * M, 6)
+    assert "enc_outputs" in out
