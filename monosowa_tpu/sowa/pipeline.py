@@ -145,11 +145,24 @@ class PseudoLabeler:
         npts = np.array([p.shape[0] for p in points[:n]], np.float32)
 
         # ---- 3D NMS + merge/re-fit (loader.py:2727-2800) --------------
+        # pad device calls to the fixed max_cars shape: per-frame car counts
+        # vary and every distinct n would otherwise compile its own NMS
+        mc = cfg.max_cars
+        center_p = np.zeros((mc, 3), np.float32)
+        center_p[:n] = center
+        theta_p = np.zeros(mc, np.float32)
+        theta_p[:n] = theta
+        lwh_p = np.tile(np.array([l, w, h], np.float32), (mc, 1))
+        npts_p = np.zeros(mc, np.float32)
+        npts_p[:n] = npts
+        valid_p = np.zeros(mc, bool)
+        valid_p[:n] = True
         keep, merged = box3d.nms_3d(
-            jnp.asarray(center), jnp.asarray(lwh), jnp.asarray(theta),
-            jnp.asarray(npts), jnp.ones(n, bool), jnp.float32(cfg.nms_iou))
-        keep = np.asarray(keep)
-        merged = np.asarray(merged)
+            jnp.asarray(center_p), jnp.asarray(lwh_p), jnp.asarray(theta_p),
+            jnp.asarray(npts_p), jnp.asarray(valid_p),
+            jnp.float32(cfg.nms_iou))
+        keep = np.asarray(keep)[:n]
+        merged = np.asarray(merged)[:n]
 
         refit_targets = sorted({int(merged[i]) for i in range(n)
                                 if not keep[i] and keep[merged[i]]})
@@ -161,10 +174,10 @@ class PseudoLabeler:
                 merged_points.append(
                     aggregation.cap_points(np.concatenate(parts, 0)))
             sub_tracks = [kept[t] for t in refit_targets]
+            # fixed max_cars padding: stable compiled shape for the re-fit
             sub_batch = aggregation.build_car_batch(
                 sub_tracks, merged_points, window_frames,
-                max_cars=max(len(refit_targets), 1),
-                max_points=cfg.max_points)
+                max_cars=cfg.max_cars, max_points=cfg.max_points)
             sub_res = fit_cars_conv(sub_batch, self.template,
                                     self.occ_kernels, self.memb_kernels,
                                     self.conv_spec, cfg.fit)
