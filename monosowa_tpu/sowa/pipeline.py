@@ -19,6 +19,7 @@ import dataclasses
 import os
 from typing import Callable, List, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -101,13 +102,16 @@ class PseudoLabeler:
 
     # ------------------------------------------------------------------
     def label_from_cars(self, kept, points, ref_masks,
-                        window_frames, precomputed=None) -> List[dict]:
+                        window_frames, precomputed=None,
+                        precomputed_nms=None) -> List[dict]:
         """Fit + NMS + assemble from aggregated per-car point clouds —
         the `optimization` stage when the `frames_aggregation` cache is
         already on disk (cache.load_merged_cars).
 
         ``precomputed``: optional (center (N,3), theta (N,)) from an
         external batched fit (label_frames) — skips the per-frame fit.
+        ``precomputed_nms``: optional (keep (max_cars,), merged (max_cars,))
+        from a cross-frame vmapped NMS — skips the per-frame NMS dispatch.
         """
         cfg = self.cfg
         if not kept:
@@ -157,10 +161,13 @@ class PseudoLabeler:
         npts_p[:n] = npts
         valid_p = np.zeros(mc, bool)
         valid_p[:n] = True
-        keep, merged = box3d.nms_3d(
-            jnp.asarray(center_p), jnp.asarray(lwh_p), jnp.asarray(theta_p),
-            jnp.asarray(npts_p), jnp.asarray(valid_p),
-            jnp.float32(cfg.nms_iou))
+        if precomputed_nms is not None:
+            keep, merged = precomputed_nms
+        else:
+            keep, merged = box3d.nms_3d(
+                jnp.asarray(center_p), jnp.asarray(lwh_p),
+                jnp.asarray(theta_p), jnp.asarray(npts_p),
+                jnp.asarray(valid_p), jnp.float32(cfg.nms_iou))
         keep = np.asarray(keep)[:n]
         merged = np.asarray(merged)[:n]
 
@@ -317,13 +324,45 @@ class PseudoLabeler:
                                 np.asarray(res.z)], 1)
             thetas = np.asarray(res.theta)
         owners = np.asarray(owners, np.int64) if owners else np.zeros(0)
+
+        # one vmapped NMS over all frames instead of F per-frame dispatches
+        nms_by_frame = {}
+        if all_tracks:
+            mc = cfg.max_cars
+            l0, w0, h0 = cfg.template_dims_lwh
+            f_n = len(prepared)
+            c_f = np.zeros((f_n, mc, 3), np.float32)
+            t_f = np.zeros((f_n, mc), np.float32)
+            np_f = np.zeros((f_n, mc), np.float32)
+            v_f = np.zeros((f_n, mc), bool)
+            for fi, item in enumerate(prepared):
+                sel = np.where(owners == fi)[0]
+                n_i = len(sel)
+                c_f[fi, :n_i] = centers[sel]
+                t_f[fi, :n_i] = thetas[sel]
+                np_f[fi, :n_i] = [item["points"][j].shape[0]
+                                  for j in range(n_i)]
+                v_f[fi, :n_i] = True
+            lwh_f = np.tile(np.array([l0, w0, h0], np.float32),
+                            (f_n, mc, 1))
+            keep_f, merged_f = jax.vmap(
+                box3d.nms_3d, in_axes=(0, 0, 0, 0, 0, None))(
+                jnp.asarray(c_f), jnp.asarray(lwh_f), jnp.asarray(t_f),
+                jnp.asarray(np_f), jnp.asarray(v_f),
+                jnp.float32(cfg.nms_iou))
+            keep_f = np.asarray(keep_f)
+            merged_f = np.asarray(merged_f)
+            for fi in range(f_n):
+                nms_by_frame[fi] = (keep_f[fi], merged_f[fi])
+
         for fi, item in enumerate(prepared):
             sel = np.where(owners == fi)[0]
             pre = ((centers[sel], thetas[sel]) if len(sel) else
                    (np.zeros((0, 3)), np.zeros(0)))
             cars = self.label_from_cars(item["kept"], item["points"],
                                         item["ref_masks"], item["window"],
-                                        precomputed=pre)
+                                        precomputed=pre,
+                                        precomputed_nms=nms_by_frame.get(fi))
             out_path = item["job"]["out_path"]
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             write_pseudo_label_file(out_path, cars)
