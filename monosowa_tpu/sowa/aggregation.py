@@ -141,11 +141,18 @@ def build_car_batch(tracks: Sequence[Track],
                     window: Sequence[int],
                     max_cars: int,
                     max_points: int,
-                    angle_min_dist: float = 3.0) -> CarBatch:
+                    angle_min_dist: float = 3.0,
+                    per_track_windows: Optional[Sequence[Sequence[int]]] = None,
+                    ) -> CarBatch:
     """Pad per-car point clouds into the SoA batch the fitter vmaps over.
 
     Cars beyond ``max_cars`` are dropped (callers should size generously);
     per-car points beyond ``max_points`` are randomly subsampled.
+
+    ``per_track_windows``: when tracks come from *different* frames (the
+    cross-frame batched fit in pipeline.label_frames), each track's frame
+    offsets are relative to its own frame's window — pass that window per
+    track here so moving-car trajectory angles index the right slots.
     """
     b = min(len(tracks), max_cars)
     pts = np.zeros((max_cars, max_points, 3), np.float32)
@@ -164,9 +171,11 @@ def build_car_batch(tracks: Sequence[Track],
         valid[i] = True
         moving[i] = tracks[i].moving
         if tracks[i].moving:
-            locs, lvalid = tracks[i].location_array(window)
+            win_i = (per_track_windows[i] if per_track_windows is not None
+                     else window)
+            locs, lvalid = tracks[i].location_array(win_i)
             try:
-                ref_idx = list(window).index(0)
+                ref_idx = list(win_i).index(0)
             except ValueError:
                 ref_idx = 0
             ang = estimate_angle_from_track(locs, lvalid, ref_idx,

@@ -306,18 +306,22 @@ class PseudoLabeler:
             prepared = [prep(j) for j in todo]
 
         # one cross-frame batched fit for every prepared car
-        all_tracks, all_points, owners = [], [], []
+        all_tracks, all_points, all_windows, owners = [], [], [], []
         for fi, item in enumerate(prepared):
             n_i = min(len(item["kept"]), cfg.max_cars)
             all_tracks.extend(item["kept"][:n_i])
             all_points.extend(item["points"][:n_i])
+            # each track's frame offsets are relative to its OWN frame's
+            # window — edge frames have truncated/shifted windows, so the
+            # moving-car trajectory theta must index with the right base
+            all_windows.extend([item["window"]] * n_i)
             owners.extend([fi] * n_i)
         n_written = 0
         if all_tracks:
-            window0 = prepared[0]["window"]
             big = aggregation.build_car_batch(
-                all_tracks, all_points, window0,
-                max_cars=len(all_tracks), max_points=cfg.max_points)
+                all_tracks, all_points, prepared[0]["window"],
+                max_cars=len(all_tracks), max_points=cfg.max_points,
+                per_track_windows=all_windows)
             res = fit_cars_conv(big, self.template, self.occ_kernels,
                                 self.memb_kernels, self.conv_spec, cfg.fit)
             centers = np.stack([np.asarray(res.x), np.asarray(res.y),

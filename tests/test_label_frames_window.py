@@ -1,0 +1,102 @@
+"""Regression: label_frames must use each frame's OWN window when batching
+cars across frames (round-1 bug: frame 0's window was applied to every
+track, scrambling moving-car trajectory theta on edge frames whose windows
+are truncated/shifted)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+import scipy.ndimage
+
+from monosowa_tpu.ops.geometry import rot_y
+from monosowa_tpu.sowa import pipeline
+from monosowa_tpu.sowa.fitting import FitConfig
+from monosowa_tpu.sowa.templates import TemplateBank
+
+H, W = 180, 400
+P2 = np.array([[250.0, 0, W / 2, 0], [0, 250.0, H / 2, 0], [0, 0, 1, 0]])
+
+# car drives through the scene: heading from the trajectory direction
+VEL = np.array([1.8, 0.0, 0.8])                      # m / frame, camera xz
+TRAJ_ANGLE = float(np.arctan2(VEL[2], VEL[0]))
+THETA_TRUE = -TRAJ_ANGLE + np.pi / 2                 # optimizer.py:418 map
+P_REF = np.array([0.5, 0.9, 14.0])
+
+
+def _make_moving_scene(window, seed=0):
+    """Static ego, one car moving VEL per frame; returns (pts, masks, T)."""
+    rng = np.random.default_rng(seed)
+    bank = TemplateBank.default()
+    rot = np.asarray(rot_y(jnp.float32(THETA_TRUE)))
+    car_local = bank.points[0] @ rot.T
+
+    pts_frames, mask_frames = [], []
+    for f in window:
+        pos = P_REF + f * VEL
+        car = (car_local + pos).astype(np.float32)
+        car = car + rng.normal(scale=0.02, size=car.shape).astype(np.float32)
+        ground = np.stack([rng.uniform(-8, 8, 600),
+                           np.full(600, 1.66),
+                           rng.uniform(4, 30, 600)], 1).astype(np.float32)
+        pts_frames.append(np.concatenate([car, ground]))
+
+        hom = np.hstack([car, np.ones((len(car), 1))]) @ P2.T
+        uv = np.rint(hom[:, :2] / hom[:, 2:3]).astype(int)
+        ok = ((uv[:, 0] >= 0) & (uv[:, 0] < W)
+              & (uv[:, 1] >= 0) & (uv[:, 1] < H))
+        mask = np.zeros((H, W), bool)
+        mask[uv[ok, 1], uv[ok, 0]] = True
+        mask_frames.append([scipy.ndimage.binary_dilation(mask, iterations=3)])
+    transforms = np.tile(np.eye(4), (len(window), 1, 1))
+    return pts_frames, mask_frames, transforms
+
+
+@pytest.fixture(scope="module")
+def labeler():
+    cfg = pipeline.PipelineConfig(
+        nscans_before=3, nscans_after=3, max_cars=4, max_points=1024,
+        min_standing_points=400, fit=FitConfig(fine_chunk=12))
+    return pipeline.PseudoLabeler(cfg)
+
+
+def _theta_close(a, b, tol_deg=3.0):
+    d = (a - b + np.pi) % (2 * np.pi) - np.pi
+    return abs(d) < np.deg2rad(tol_deg)
+
+
+def test_edge_frame_window_uses_own_base(labeler, tmp_path):
+    # job 0: sequence-edge frame — one-sided window [0..6] (base 0)
+    # job 1: interior frame — symmetric window [-3..3] (base -3)
+    win_edge = list(range(0, 7))
+    win_mid = list(range(-3, 4))
+    scenes = {0: _make_moving_scene(win_edge, seed=0),
+              1: _make_moving_scene(win_mid, seed=1)}
+    jobs = []
+    for i, win in ((0, win_edge), (1, win_mid)):
+        pts, masks, transforms = scenes[i]
+        jobs.append(dict(
+            out_path=str(tmp_path / f"w{i:06d}.txt"),
+            window_frames=win,
+            get_points=(lambda k, p=pts: p[k]),
+            get_masks=(lambda k, m=masks: m[k]),
+            transforms=transforms, p2=P2, img_hw=(H, W)))
+    assert labeler.label_frames(jobs) == 2
+
+    # per-frame reference result for each job
+    for i, win in ((0, win_edge), (1, win_mid)):
+        pts, masks, transforms = scenes[i]
+        cars = labeler.label_frame(win, win.index(0),
+                                   lambda k: pts[k], lambda k: masks[k],
+                                   transforms, P2, (H, W))
+        assert len(cars) == 1 and cars[0]["moving"], f"job {i}"
+        assert _theta_close(cars[0]["theta"], THETA_TRUE), \
+            f"per-frame theta off for job {i}: {cars[0]['theta']}"
+
+        from monosowa_tpu.kittiio import read_label_file
+        lbl = read_label_file(str(tmp_path / f"w{i:06d}.txt"))
+        assert lbl.names == ["Car"], f"job {i}"
+        # writer applies yaw - pi/2; undo to compare in fitting frame
+        theta_written = float(lbl.ry[0]) + np.pi / 2
+        assert _theta_close(theta_written, cars[0]["theta"]), (
+            f"batched theta diverges from per-frame path for job {i}: "
+            f"{theta_written} vs {cars[0]['theta']}")
