@@ -90,6 +90,13 @@ class KittiDetectionDataset:
         self.meanshape = bool(cfg.get("meanshape", False))
         self.cls_mean_size = (CLS_MEAN_SIZE if self.meanshape
                               else np.zeros((3, 3), np.float32))
+        # use_add_data: pseudo-label cars for the TFL/mask aux losses
+        # (reference kitti_dataset.py:421-449 zstd blobs -> fixed-shape SoA)
+        self.use_add_data = bool(cfg.get("use_add_data", False))
+        self.add_data_path = cfg.get("add_data_path", "")
+        self.add_data_points = int(cfg.get("add_data_points", 512))
+        self.max_add_cars = int(cfg.get("max_add_cars", 16))
+        self.add_mask_stride = int(cfg.get("add_mask_stride", 8))
 
         self.data_dir = os.path.join(
             root_dir, "testing" if split == "test" else "training")
@@ -191,7 +198,12 @@ class KittiDetectionDataset:
             "img_size": img_size.astype(np.float32),
             "canonical_scale": np.float32(canonical_scale),
             "height_crop": np.float32(height_crop),
+            "trans": trans.astype(np.float32),
+            "trans_inv": trans_inv.astype(np.float32),
+            "flip_flag": np.bool_(flip),
         }
+        if self.use_add_data:
+            sample.update(self._load_add_data(idx, trans_inv))
         m = self.max_objs
         sample.update({
             "labels": np.zeros(m, np.int32),
@@ -294,6 +306,57 @@ class KittiDetectionDataset:
             sample["mask_2d"][i] = obj.truncation <= 0.5 and obj.occlusion <= 2
             sample["valid"][i] = True
         return sample
+
+    # -- use_add_data -------------------------------------------------------
+    def _load_add_data(self, idx: str, trans_inv: np.ndarray
+                       ) -> Dict[str, np.ndarray]:
+        """Fixed-shape pseudo-label car payload for the TFL/mask aux losses.
+
+        Reads the pipeline's optimized_cars cache (sowa.cache), downsamples
+        each car cloud to ``add_data_points``, and warps each instance mask
+        through the sample's augmentation affine into the network resolution
+        then max-pools by ``add_mask_stride`` (reference loads 10k-pt clouds
+        + full masks, kitti_dataset.py:421-449; the caps keep TPU shapes
+        static and small)."""
+        from monosowa_tpu.sowa.cache import load_optimized_cars
+        c, p, s = self.max_add_cars, self.add_data_points, self.add_mask_stride
+        res_w, res_h = int(self.resolution[0]), int(self.resolution[1])
+        mh, mw = res_h // s, res_w // s
+        out = {
+            "car_points": np.zeros((c, p, 3), np.float32),
+            "car_pmask": np.zeros((c, p), bool),
+            "car_valid": np.zeros(c, bool),
+            "car_moving": np.zeros(c, bool),
+            "car_theta": np.zeros(c, np.float32),
+            "car_masks": np.zeros((c, mh, mw), np.float32),
+        }
+        cars = load_optimized_cars(
+            os.path.join(self.add_data_path, "optimized_cars"), idx)
+        if not cars:
+            return out
+        rng = np.random.default_rng(abs(hash(idx)) % (2 ** 31))
+        for i, car in enumerate(cars[:c]):
+            pts = np.asarray(car["points"], np.float32).reshape(-1, 3)
+            if pts.shape[0] == 0:
+                continue
+            if pts.shape[0] > p:
+                pts = pts[rng.choice(pts.shape[0], p, replace=False)]
+            out["car_points"][i, :pts.shape[0]] = pts
+            out["car_pmask"][i, :pts.shape[0]] = True
+            out["car_valid"][i] = True
+            out["car_moving"][i] = bool(car.get("moving", False))
+            out["car_theta"][i] = float(car.get("theta", 0.0))
+            m = car.get("mask")
+            if m is not None and np.any(m):
+                pm = Image.fromarray(m.astype(np.uint8) * 255)
+                mt = pm.transform(
+                    (res_w, res_h), method=Image.AFFINE,
+                    data=tuple(trans_inv.reshape(-1).tolist()),
+                    resample=Image.NEAREST)
+                marr = np.asarray(mt) > 127
+                out["car_masks"][i] = marr.reshape(
+                    mh, s, mw, s).max(axis=(1, 3)).astype(np.float32)
+        return out
 
     @staticmethod
     def _ry2alpha(calib, ry, u):

@@ -27,8 +27,30 @@ from typing import Any, Dict, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
+from monosowa_tpu.models import mask_aux, tfl_aux
 from monosowa_tpu.models.matcher import (
     MatcherConfig, box_cxcylrtb_to_xyxy, generalized_box_iou, hungarian_match)
+
+
+class AddData(NamedTuple):
+    """Pseudo-label car payload for the TFL / silhouette auxiliary losses —
+    the reference's ``info`` side-channel (kitti_dataset.py:421-449 loads
+    optimized_cars blobs; monodetr.py:967-1157 consumes them)."""
+
+    car_points: jnp.ndarray        # (B, C, P, 3) aggregated car clouds
+    car_pmask: jnp.ndarray         # (B, C, P) point validity
+    car_valid: jnp.ndarray         # (B, C)
+    car_moving: jnp.ndarray        # (B, C)
+    car_masks: jnp.ndarray         # (B, C, Hm, Wm) instance masks (0/1)
+    calib: jnp.ndarray             # (B, 3, 4) P2
+    resolution: jnp.ndarray        # (2,) network input (w, h)
+    canonical_scale: jnp.ndarray   # (B,)
+    trans: jnp.ndarray             # (B, 2, 3) original -> resolution affine
+    trans_inv: jnp.ndarray         # (B, 2, 3) inverse affine
+    flip: jnp.ndarray              # (B,) bool random-flip flags
+    img_w: jnp.ndarray             # (B,) original image width
+    templates: jnp.ndarray         # (4, T, 3) canonical template clouds
+    template_dims_hwl: jnp.ndarray  # (3,)
 
 
 class Targets(NamedTuple):
@@ -67,6 +89,19 @@ class CriterionConfig:
     depth_min: float = 1e-3
     depth_max: float = 60.0
     num_depth_bins: int = 80
+    # TFL / silhouette auxiliary losses against pseudo-label cars
+    # (use_tfl / use_mask_loss, monodetr.py:538-575; off by default like
+    # configs/monodetr.yaml:113-115)
+    use_tfl: bool = False
+    use_mask_loss: bool = False
+    w_tfl: float = 1.0             # tfl_loss_coef
+    w_mask: float = 1.0            # mask_loss_coef
+    mask_kind: str = "BCE"         # mask_loss: BCE | DICE
+    tfl_on_aux: bool = True        # reference runs tfl on aux layers too
+    tfl_gather_k: int = 32         # fixed matched-query slots (TPU shapes)
+    tfl_steepness: float = 10.0
+    tfl_match_dist: float = 5.0
+    mask_sigma_px: float = 1.5
 
 
 def _gather_targets(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -191,6 +226,67 @@ def ddn_depth_map_loss(depth_logits: jnp.ndarray, targets: Targets,
     return jnp.sum(focal * weights) / num_pixels
 
 
+def _add_data_losses(out: Dict[str, jnp.ndarray], match_idx: jnp.ndarray,
+                     add: AddData, cfg: CriterionConfig
+                     ) -> Dict[str, jnp.ndarray]:
+    """TFL + silhouette mask losses of one decoder layer against the
+    pseudo-label cars (loss_tfl, monodetr.py:538-575).
+
+    Matched queries are gathered into ``tfl_gather_k`` fixed slots per image
+    so the pairwise (K, 4, T, P) tensors stay small instead of scaling with
+    queries x groups; summed over batch like compute_tfl_loss (:806-815).
+    """
+    k = cfg.tfl_gather_k
+    hm, wm = add.car_masks.shape[2], add.car_masks.shape[3]
+    mean_size = jnp.zeros(3, jnp.float32)   # meanshape False: dims absolute
+
+    def per_image(boxes_b, dim_b, angle_b, depth_b, midx, pts, pmask,
+                  cvalid, cmoving, cmasks, calib, cscale, tfwd, tinv,
+                  flip, img_w):
+        qidx, qvalid = tfl_aux.gather_matched_queries(midx, k)
+        boxes7 = tfl_aux.decode_pred_boxes7(
+            boxes_b[qidx], depth_b[qidx], dim_b[qidx], angle_b[qidx],
+            calib, add.resolution, cscale, mean_size, tinv, flip, img_w)
+        loss_t = tfl_aux.loss_tfl_aux(
+            boxes7, qvalid, pts, pmask, cvalid, cmoving, add.templates,
+            add.template_dims_hwl, steepness=cfg.tfl_steepness,
+            match_dist=cfg.tfl_match_dist)
+
+        if not cfg.use_mask_loss:
+            return loss_t, jnp.float32(0.0)
+        # per-query matched car (same nearest-center rule as the TFL)
+        centers = jax.vmap(tfl_aux.masked_median)(pts, pmask)
+        d = jnp.linalg.norm(boxes7[:, None, :3] - centers[None], axis=-1)
+        d = jnp.where(cvalid[None, :], d, tfl_aux.BIG)
+        match = jnp.argmin(d, axis=1)
+        has_mask = jnp.any(cmasks > 0.5, axis=(1, 2))
+        ok = qvalid & (jnp.min(d, axis=1) < cfg.tfl_match_dist) \
+            & has_mask[match]
+        posed = tfl_aux.pose_templates(
+            boxes7, add.templates[:1], add.template_dims_hwl,
+            cmoving[match])[:, 0]                        # (K, T, 3)
+        # original-image px -> mask grid: augmentation affine / stride
+        stride = jnp.stack([add.resolution[0] / wm, add.resolution[1] / hm])
+        grid_affine = tfwd / stride[:, None]
+        sil = mask_aux.splat_silhouette(posed, calib, grid_affine, hm, wm,
+                                        sigma_px=cfg.mask_sigma_px)
+        loss_m = mask_aux.mask_loss(sil, cmasks[match], ok,
+                                    kind=cfg.mask_kind)
+        return loss_t, loss_m
+
+    tfl_b, mask_b = jax.vmap(per_image)(
+        out["pred_boxes"], out["pred_3d_dim"], out["pred_angle"],
+        out["pred_depth"], match_idx, add.car_points, add.car_pmask,
+        add.car_valid, add.car_moving, add.car_masks, add.calib,
+        add.canonical_scale, add.trans, add.trans_inv, add.flip, add.img_w)
+    losses = {}
+    if cfg.use_tfl:
+        losses["loss_tfl"] = jnp.sum(tfl_b)
+    if cfg.use_mask_loss:
+        losses["loss_mask"] = jnp.sum(mask_b)
+    return losses
+
+
 def _enc_layer_losses(out: Dict[str, jnp.ndarray], targets: Targets,
                       match_idx: jnp.ndarray, num_boxes: jnp.ndarray,
                       cfg: CriterionConfig) -> Dict[str, jnp.ndarray]:
@@ -225,7 +321,8 @@ def _enc_layer_losses(out: Dict[str, jnp.ndarray], targets: Targets,
 def criterion(outputs: Dict[str, Any], targets: Targets,
               cfg: CriterionConfig = CriterionConfig(),
               training: bool = True,
-              axis_name: Optional[str] = None) -> Dict[str, jnp.ndarray]:
+              axis_name: Optional[str] = None,
+              add_data: Optional[AddData] = None) -> Dict[str, jnp.ndarray]:
     """Full loss dict; 'loss_total' is the weighted sum the trainer steps on."""
     group_num = cfg.group_num if training else 1
     num_boxes = jnp.sum(targets.valid).astype(jnp.float32) * group_num
@@ -239,12 +336,20 @@ def criterion(outputs: Dict[str, Any], targets: Targets,
                                targets.valid, cfg.matcher, group_num,
                                cfg.num_queries)
 
-    losses = _layer_losses(outputs, targets, match(outputs), num_boxes, cfg)
+    use_add = add_data is not None and (cfg.use_tfl or cfg.use_mask_loss)
+
+    idx_final = match(outputs)
+    losses = _layer_losses(outputs, targets, idx_final, num_boxes, cfg)
     losses["loss_depth_map"] = ddn_depth_map_loss(
         outputs["pred_depth_map_logits"], targets, cfg)
+    if use_add:
+        losses.update(_add_data_losses(outputs, idx_final, add_data, cfg))
 
     for i, aux in enumerate(outputs.get("aux_outputs", [])):
-        aux_l = _layer_losses(aux, targets, match(aux), num_boxes, cfg)
+        idx_aux = match(aux)
+        aux_l = _layer_losses(aux, targets, idx_aux, num_boxes, cfg)
+        if use_add and cfg.tfl_on_aux:
+            aux_l.update(_add_data_losses(aux, idx_aux, add_data, cfg))
         for k, v in aux_l.items():
             losses[f"{k}_{i}"] = v
 
@@ -261,7 +366,8 @@ def criterion(outputs: Dict[str, Any], targets: Targets,
     weights = {"loss_ce": cfg.w_cls, "loss_center": cfg.w_center,
                "loss_bbox": cfg.w_bbox, "loss_giou": cfg.w_giou,
                "loss_depth": cfg.w_depth, "loss_dim": cfg.w_dim,
-               "loss_angle": cfg.w_angle, "loss_depth_map": cfg.w_depth_map}
+               "loss_angle": cfg.w_angle, "loss_depth_map": cfg.w_depth_map,
+               "loss_tfl": cfg.w_tfl, "loss_mask": cfg.w_mask}
     total = jnp.float32(0.0)
     for k, v in losses.items():
         base = k[:-4] if k.endswith("_enc") else (

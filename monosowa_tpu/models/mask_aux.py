@@ -21,20 +21,26 @@ import jax.numpy as jnp
 
 @partial(jax.jit, static_argnames=("out_h", "out_w", "sigma_px"))
 def splat_silhouette(points: jnp.ndarray, calib: jnp.ndarray,
-                     img_size: jnp.ndarray, out_h: int, out_w: int,
+                     grid_affine: jnp.ndarray, out_h: int, out_w: int,
                      sigma_px: float = 1.5) -> jnp.ndarray:
     """(Q, T, 3) camera points -> (Q, out_h, out_w) soft silhouettes.
 
-    Projects through P2, scales into the downsampled grid, and accumulates
-    isotropic gaussians; the silhouette is 1 - prod(1 - g) (soft OR),
-    matching the soft-silhouette compositing semantics.
+    Projects through the full P2 (baseline terms included), maps into the
+    mask grid with ``grid_affine`` (2, 3) — the augmentation affine composed
+    with the 1/stride downsample — and accumulates isotropic gaussians; the
+    silhouette is a soft OR over points, matching the soft-silhouette
+    compositing semantics.
     """
     q, t, _ = points.shape
-    fu, fv = calib[0, 0], calib[1, 1]
-    cu, cv = calib[0, 2], calib[1, 2]
     z = jnp.maximum(points[..., 2], 1e-3)
-    u = (points[..., 0] * fu / z + cu) * (out_w / img_size[0])
-    v = (points[..., 1] * fv / z + cv) * (out_h / img_size[1])
+    u_img = (calib[0, 0] * points[..., 0] + calib[0, 1] * points[..., 1]
+             + calib[0, 2] * points[..., 2] + calib[0, 3]) / z
+    v_img = (calib[1, 0] * points[..., 0] + calib[1, 1] * points[..., 1]
+             + calib[1, 2] * points[..., 2] + calib[1, 3]) / z
+    u = grid_affine[0, 0] * u_img + grid_affine[0, 1] * v_img \
+        + grid_affine[0, 2]
+    v = grid_affine[1, 0] * u_img + grid_affine[1, 1] * v_img \
+        + grid_affine[1, 2]
 
     gy = jnp.arange(out_h, dtype=jnp.float32)
     gx = jnp.arange(out_w, dtype=jnp.float32)

@@ -21,7 +21,7 @@ one einsum over (Q, 4, T, 3).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -104,29 +104,71 @@ def loss_tfl_aux(pred_boxes7: jnp.ndarray, pred_matched: jnp.ndarray,
     return jnp.sum(sums[:-1] / jnp.maximum(counts[:-1], 1.0))
 
 
+def _apply_affine(trans: jnp.ndarray, u: jnp.ndarray,
+                  v: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(2, 3) affine on pixel coords."""
+    return (trans[0, 0] * u + trans[0, 1] * v + trans[0, 2],
+            trans[1, 0] * u + trans[1, 1] * v + trans[1, 2])
+
+
 def decode_pred_boxes7(pred_boxes: jnp.ndarray, pred_depth: jnp.ndarray,
                        pred_dims: jnp.ndarray, pred_angle: jnp.ndarray,
-                       calib: jnp.ndarray, img_size: jnp.ndarray,
+                       calib: jnp.ndarray, resolution: jnp.ndarray,
                        canonical_scale: jnp.ndarray,
-                       mean_size_hwl: jnp.ndarray) -> jnp.ndarray:
-    """(Q, ...) head outputs -> (Q, 7) camera-frame boxes for the aux loss
-    (decode_preds :1085-1157 essentials: 3D center through the calib with
-    de-canonicalized depth, dims + mean shape, 12-bin angle -> ry)."""
+                       mean_size_hwl: jnp.ndarray,
+                       trans_inv: Optional[jnp.ndarray] = None,
+                       flip: Optional[jnp.ndarray] = None,
+                       img_w: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(Q, ...) head outputs -> (Q, 7) [x,y,z,h,w,l,ry] camera-frame boxes.
+
+    Faithful to decode_preds (monodetr.py:1085-1157): normalized centers
+    unprojected through the inverse augmentation affine and un-flipped back
+    to the original image, depth de-canonicalized, center rays including
+    the calib baseline terms, dims used directly (+ mean shape, zeros with
+    meanshape=False like the shipped configs), heading = 12-bin argmax +
+    residual, flipped to -h+pi, plus the global-ray correction
+    arctan2(u_box_center - cu, fu) from the un-affined 2D box corners.
+    """
     depth = pred_depth[:, 0] / canonical_scale
-    u = pred_boxes[:, 0] * img_size[0]
-    v = pred_boxes[:, 1] * img_size[1]
+    u = pred_boxes[:, 0] * resolution[0]
+    v = pred_boxes[:, 1] * resolution[1]
+    if trans_inv is not None:
+        u, v = _apply_affine(trans_inv, u, v)
+    if flip is not None:
+        u = jnp.where(flip, img_w - u, u)
     fu, fv = calib[0, 0], calib[1, 1]
     cu, cv = calib[0, 2], calib[1, 2]
-    x = (u - cu) * depth / fu
-    y = (v - cv) * depth / fv
+    x = (u - cu) * depth / fu + calib[0, 3] / -fu
+    y = (v - cv) * depth / fv + calib[1, 3] / -fv
     dims = pred_dims + mean_size_hwl
-    y = y + dims[:, 0] / 2.0
 
     bin_id = jnp.argmax(pred_angle[:, :12], axis=1)
     res = jnp.take_along_axis(pred_angle[:, 12:24], bin_id[:, None],
                               axis=1)[:, 0]
-    alpha = bin_id * (2 * jnp.pi / 12) + res
-    alpha = jnp.where(alpha > jnp.pi, alpha - 2 * jnp.pi, alpha)
-    ry = alpha + jnp.arctan2(u - cu, fu)
+    heading = res + bin_id.astype(jnp.float32) * (2 * jnp.pi / 12)
+
+    # box-center u in the original image for the ray correction (:1121-1151)
+    u1 = (pred_boxes[:, 0] - pred_boxes[:, 2]) * resolution[0]
+    v1 = (pred_boxes[:, 1] - pred_boxes[:, 4]) * resolution[1]
+    u2 = (pred_boxes[:, 0] + pred_boxes[:, 3]) * resolution[0]
+    v2 = (pred_boxes[:, 1] + pred_boxes[:, 5]) * resolution[1]
+    if trans_inv is not None:
+        u1, v1 = _apply_affine(trans_inv, u1, v1)
+        u2, v2 = _apply_affine(trans_inv, u2, v2)
+    uc = (u1 + u2) / 2.0
+    if flip is not None:
+        uc = jnp.where(flip, img_w - uc, uc)
+        heading = jnp.where(flip, -heading + jnp.pi, heading)
+    ry = heading + jnp.arctan2(uc - cu, fu)
     return jnp.concatenate([x[:, None], y[:, None], depth[:, None],
                             dims, ry[:, None]], axis=1)
+
+
+def gather_matched_queries(match_idx: jnp.ndarray, k: int
+                           ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(Q,) Hungarian assignment row -> indices of the first ``k`` matched
+    queries (padded with 0) and their validity mask.  Keeps the aux-loss
+    pairwise tensors at a fixed small K instead of Q = queries x groups."""
+    matched = match_idx >= 0
+    order = jnp.argsort(~matched, stable=True)
+    return order[:k], matched[order[:k]]

@@ -99,3 +99,48 @@ def load_merged_cars(cache_dir: str, frame: str
 
 def stage_done(cache_dir: str, frame: str) -> bool:
     return os.path.exists(os.path.join(cache_dir, f"{frame}.npz"))
+
+
+# -- optimized-car caches (post optimization, consumed by the detector's ----
+# -- TFL/mask auxiliary losses: the reference's optimized_cars/*.zstd ------
+# -- blobs, main_class.py:780-816 writer / kitti_dataset.py:421-449 reader --
+
+def save_optimized_cars(cache_dir: str, frame: str,
+                        cars: Sequence[dict]) -> str:
+    """Persist fitted cars for ``use_add_data`` training.  Each car dict
+    needs ``points`` (N, 3) ref-frame cloud, ``mask`` (H, W) bool or None,
+    ``moving`` bool, ``theta`` float."""
+    os.makedirs(cache_dir, exist_ok=True)
+    path = os.path.join(cache_dir, f"{frame}.npz")
+    payload = {"n": np.int64(len(cars))}
+    for i, car in enumerate(cars):
+        payload[f"points_{i}"] = np.asarray(car["points"], np.float32)
+        payload[f"moving_{i}"] = np.bool_(car.get("moving", False))
+        payload[f"theta_{i}"] = np.float32(car.get("theta", 0.0))
+        m = car.get("mask")
+        if m is not None:
+            m = np.asarray(m, bool)
+            payload[f"mask_{i}"] = np.packbits(m, axis=-1)
+            payload[f"mask_shape_{i}"] = np.asarray(m.shape)
+    np.savez_compressed(path, **payload)
+    return path
+
+
+def load_optimized_cars(cache_dir: str, frame: str) -> Optional[List[dict]]:
+    path = os.path.join(cache_dir, f"{frame}.npz")
+    if not os.path.exists(path):
+        return None
+    cars: List[dict] = []
+    with np.load(path) as z:
+        for i in range(int(z["n"])):
+            mask = None
+            if f"mask_{i}" in z:
+                shape = z[f"mask_shape_{i}"]
+                mask = np.unpackbits(
+                    z[f"mask_{i}"], axis=-1,
+                    count=int(shape[-1])).astype(bool)
+            cars.append({"points": z[f"points_{i}"],
+                         "moving": bool(z[f"moving_{i}"]),
+                         "theta": float(z[f"theta_{i}"]),
+                         "mask": mask})
+    return cars

@@ -53,6 +53,9 @@ class PipelineConfig:
     use_bbox_reducer: bool = True       # scale_detector.use_bbox_reducer
     use_dimensions_estimation: bool = False
     # optimization.use_dimensions_estimation_during_optim
+    # persist fitted cars for use_add_data detector training (the
+    # reference's optimized_cars/ blobs, main_class.py:780-816)
+    cars_cache_dir: Optional[str] = None
 
 
 class PseudoLabeler:
@@ -244,8 +247,18 @@ class PseudoLabeler:
                 "z": float(center[i, 2]), "theta": float(theta[i]),
                 "moving": bool(kept[i].moving),
                 "num_points": int(npts[i]),
+                # use_add_data payload (cars_cache_dir)
+                "points": points[i], "mask": mask,
             })
         return cars
+
+    # ------------------------------------------------------------------
+    def _save_cars_cache(self, out_path: str, cars: List[dict]) -> None:
+        if self.cfg.cars_cache_dir is None:
+            return
+        from monosowa_tpu.sowa import cache
+        frame = os.path.splitext(os.path.basename(out_path))[0]
+        cache.save_optimized_cars(self.cfg.cars_cache_dir, frame, cars)
 
     # ------------------------------------------------------------------
     def label_and_write(self, out_path: str, *args, overwrite: bool = False,
@@ -256,6 +269,7 @@ class PseudoLabeler:
         cars = self.label_frame(*args, **kwargs)
         os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
         write_pseudo_label_file(out_path, cars)
+        self._save_cars_cache(out_path, cars)
         return cars
 
 
@@ -370,6 +384,7 @@ class PseudoLabeler:
             out_path = item["job"]["out_path"]
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             write_pseudo_label_file(out_path, cars)
+            self._save_cars_cache(out_path, cars)
             n_written += 1
         return n_written
 

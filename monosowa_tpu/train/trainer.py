@@ -23,7 +23,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from monosowa_tpu.models.criterion import (CriterionConfig, Targets,
+from monosowa_tpu.models.criterion import (AddData, CriterionConfig, Targets,
                                            criterion)
 from monosowa_tpu.models.matcher import MatcherConfig
 from monosowa_tpu.models.monodetr import MonoDETR
@@ -56,6 +56,64 @@ def targets_from_batch(batch: Dict[str, jnp.ndarray]) -> Targets:
                    valid=valid)
 
 
+def add_data_from_batch(batch: Dict[str, jnp.ndarray],
+                        templates: jnp.ndarray,
+                        template_dims_hwl: jnp.ndarray) -> Optional[AddData]:
+    """Assemble the TFL/mask auxiliary payload when the dataset emitted
+    pseudo-label cars (use_add_data, kitti_dataset.py:421-449)."""
+    if "car_points" not in batch:
+        return None
+    img = batch["image"]
+    resolution = jnp.asarray([img.shape[2], img.shape[1]], jnp.float32)
+    return AddData(
+        car_points=batch["car_points"], car_pmask=batch["car_pmask"],
+        car_valid=batch["car_valid"], car_moving=batch["car_moving"],
+        car_masks=batch["car_masks"], calib=batch["calib"],
+        resolution=resolution, canonical_scale=batch["canonical_scale"],
+        trans=batch["trans"], trans_inv=batch["trans_inv"],
+        flip=batch["flip_flag"], img_w=batch["img_size"][:, 0],
+        templates=templates, template_dims_hwl=template_dims_hwl)
+
+
+def _tfl_templates(n_points: int = 256):
+    """Canonical template clouds for the aux losses, subsampled to a fixed
+    small point count (TPU memory: the TFL pairwise tensor is K x 4T x P)."""
+    from monosowa_tpu.sowa.templates import TemplateBank
+    bank = TemplateBank.default()
+    pts = np.asarray(bank.points)                      # (4, T, 3)
+    stride = max(1, pts.shape[1] // n_points)
+    l, w, h = (float(v) for v in bank.dims_lwh)
+    return (jnp.asarray(pts[:, ::stride][:, :n_points]),
+            jnp.asarray([h, w, l], jnp.float32))
+
+
+def criterion_config_from_yaml(model: MonoDETR,
+                               mcfg: Dict[str, Any]) -> CriterionConfig:
+    """Reference-format model yaml keys -> CriterionConfig
+    (configs/monodetr.yaml:96-115 coefficient names)."""
+    return CriterionConfig(
+        group_num=model.group_num, num_queries=model.num_queries,
+        num_classes=model.num_classes,
+        matcher=MatcherConfig(backend="auction"),
+        focal_alpha=float(mcfg.get("focal_alpha", 0.25)),
+        w_cls=float(mcfg.get("cls_loss_coef", 2)),
+        w_bbox=float(mcfg.get("bbox_loss_coef", 5)),
+        w_giou=float(mcfg.get("giou_loss_coef", 2)),
+        w_center=float(mcfg.get("3dcenter_loss_coef", 10)),
+        w_dim=float(mcfg.get("dim_loss_coef", 1)),
+        w_angle=float(mcfg.get("angle_loss_coef", 1)),
+        w_depth=float(mcfg.get("depth_loss_coef", 1)),
+        w_depth_map=float(mcfg.get("depth_map_loss_coef", 1)),
+        num_depth_bins=int(mcfg.get("num_depth_bins", 80)),
+        depth_min=float(mcfg.get("depth_min", 1e-3)),
+        depth_max=float(mcfg.get("depth_max", 60.0)),
+        use_tfl=bool(mcfg.get("use_tfl", False)),
+        use_mask_loss=bool(mcfg.get("use_mask_loss", False)),
+        w_tfl=float(mcfg.get("tfl_loss_coef", 1)),
+        w_mask=float(mcfg.get("mask_loss_coef", 1)),
+        mask_kind=str(mcfg.get("mask_loss", "BCE")))
+
+
 def make_train_step(model: MonoDETR, ccfg: Optional[CriterionConfig] = None):
     """Build the jitted train step.  ccfg defaults to the reference loss
     weights with the device-native auction matcher."""
@@ -64,18 +122,24 @@ def make_train_step(model: MonoDETR, ccfg: Optional[CriterionConfig] = None):
             group_num=model.group_num, num_queries=model.num_queries,
             num_classes=model.num_classes,
             matcher=MatcherConfig(backend="auction"))
+    templates = template_dims = None
+    if ccfg.use_tfl or ccfg.use_mask_loss:
+        templates, template_dims = _tfl_templates()
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
                    rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         targets = targets_from_batch(batch)
+        add_data = (add_data_from_batch(batch, templates, template_dims)
+                    if templates is not None else None)
 
         def loss_fn(params):
             out = model.apply(
                 {"params": params, "frozen": state.frozen},
                 batch["image"], batch["calib"], batch["img_size"],
                 training=True, rngs={"dropout": rng})
-            losses = criterion(out, targets, ccfg, training=True)
+            losses = criterion(out, targets, ccfg, training=True,
+                               add_data=add_data)
             return losses["loss_total"], losses
 
         (_, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(

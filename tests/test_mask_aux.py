@@ -10,7 +10,8 @@ from monosowa_tpu.sowa.templates import TemplateBank
 
 CALIB = jnp.asarray(np.array([[250.0, 0, 200, 0], [0, 250.0, 90, 0],
                               [0, 0, 1, 0]], np.float32))
-IMG = jnp.asarray([400.0, 180.0])
+# original 400x180 image px -> 100x45 mask grid (identity affine / stride 4)
+GRID = jnp.asarray(np.array([[0.25, 0, 0], [0, 0.25, 0]], np.float32))
 H, W = 45, 100
 
 
@@ -18,7 +19,7 @@ def _sil(offset_x=0.0):
     bank = TemplateBank.default()
     pts = bank.points[0] + np.array([offset_x, 0.9, 12.0])
     return mask_aux.splat_silhouette(jnp.asarray(pts[None].astype(np.float32)),
-                                     CALIB, IMG, H, W)
+                                     CALIB, GRID, H, W)
 
 
 def test_silhouette_covers_projection():
@@ -49,7 +50,7 @@ def test_mask_loss_gradient_flows():
                        .astype(np.float32))
 
     def f(offset):
-        sil = mask_aux.splat_silhouette(base + offset, CALIB, IMG, H, W)
+        sil = mask_aux.splat_silhouette(base + offset, CALIB, GRID, H, W)
         return mask_aux.mask_loss(sil, target, jnp.asarray([True]))
 
     g = jax.grad(f)(jnp.zeros(3))

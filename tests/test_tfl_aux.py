@@ -67,8 +67,52 @@ def test_decode_pred_boxes7_geometry():
     out = np.asarray(tfl_aux.decode_pred_boxes7(
         boxes, depth, dims, angle, calib, jnp.asarray([640.0, 360.0]),
         jnp.float32(2.0), jnp.asarray([1.5, 1.6, 3.9], jnp.float32)))
-    # canonical_scale 2 -> depth 10; center pixel -> x = 0, y = h/2
+    # canonical_scale 2 -> depth 10; center pixel -> x = 0, y = 0 (center y,
+    # no +h/2 — decode_preds :1110 keeps the projected 3D center)
     assert out[0, 2] == pytest.approx(10.0)
     assert out[0, 0] == pytest.approx(0.0, abs=1e-5)
-    assert out[0, 1] == pytest.approx(0.75, abs=1e-5)
+    assert out[0, 1] == pytest.approx(0.0, abs=1e-5)
     assert out[0, 3:6] == pytest.approx([1.5, 1.6, 3.9])
+    assert out[0, 6] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_decode_pred_boxes7_affine_flip():
+    """Inverse-affine + un-flip path (decode_preds :1085-1151)."""
+    q = 2
+    boxes = np.zeros((q, 6), np.float32)
+    boxes[:, 0], boxes[:, 1] = 0.25, 0.5       # u_res=160, v_res=180
+    boxes[:, 2:] = 0.05
+    depth = np.tile(np.array([[20.0, 0.0]], np.float32), (q, 1))
+    dims = np.tile(np.array([[1.5, 1.6, 3.9]], np.float32), (q, 1))
+    angle = np.zeros((q, 24), np.float32)
+    calib = jnp.asarray(np.array([[700.0, 0, 320, 0], [0, 700.0, 180, 0],
+                                  [0, 0, 1, 0]], np.float32))
+    res = jnp.asarray([640.0, 360.0])
+    # affine: original -> resolution is a plain x2 downscale, so inverse
+    # doubles coordinates: u_img = 2 * u_res
+    tinv = jnp.asarray(np.array([[2.0, 0, 0], [0, 2.0, 0]], np.float32))
+    img_w = jnp.float32(1280.0)
+
+    out = np.asarray(tfl_aux.decode_pred_boxes7(
+        jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(dims),
+        jnp.asarray(angle), calib, res, jnp.float32(1.0), jnp.zeros(3),
+        trans_inv=tinv, flip=jnp.asarray(False), img_w=img_w))
+    # u_img = 320 = cu -> x = 0
+    assert out[0, 0] == pytest.approx(0.0, abs=1e-4)
+
+    out_f = np.asarray(tfl_aux.decode_pred_boxes7(
+        jnp.asarray(boxes), jnp.asarray(depth), jnp.asarray(dims),
+        jnp.asarray(angle), calib, res, jnp.float32(1.0), jnp.zeros(3),
+        trans_inv=tinv, flip=jnp.asarray(True), img_w=img_w))
+    # flipped: u = 1280 - 320 = 960 -> x = (960-320)*20/700
+    assert out_f[0, 0] == pytest.approx((960 - 320) * 20 / 700, abs=1e-3)
+    # heading mirrored: -0 + pi + ray
+    ray = np.arctan2(960 - 320, 700)
+    assert out_f[0, 6] == pytest.approx(np.pi + ray, abs=1e-4)
+
+
+def test_gather_matched_queries():
+    midx = jnp.asarray(np.array([-1, 3, -1, 0, 2, -1], np.int32))
+    qidx, valid = tfl_aux.gather_matched_queries(midx, 4)
+    assert list(np.asarray(qidx)) == [1, 3, 4, 0]
+    assert list(np.asarray(valid)) == [True, True, True, False]

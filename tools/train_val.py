@@ -103,7 +103,8 @@ def main(argv=None):
     from monosowa_tpu.parallel import make_mesh, replicated_sharding, shard_batch
     from monosowa_tpu.train import checkpoint as ckpt
     from monosowa_tpu.train.optim import make_optimizer
-    from monosowa_tpu.train.trainer import init_state, make_train_step
+    from monosowa_tpu.train.trainer import (criterion_config_from_yaml,
+                                            init_state, make_train_step)
 
     cfg = load_yaml(args.config)
     np.random.seed(int(cfg.get("random_seed", 444)))
@@ -148,7 +149,9 @@ def main(argv=None):
 
     mesh = make_mesh(("data",))
     state = jax.device_put(state, replicated_sharding(mesh))
-    train_step = make_train_step(model)
+    train_step = make_train_step(model,
+                                 criterion_config_from_yaml(model,
+                                                            cfg["model"]))
     loader = build_loader(train_ds, batch_size, shuffle=True)
     max_epoch = int(cfg["trainer"].get("max_epoch", 195))
     save_freq = int(cfg["trainer"].get("save_frequency", 1))
