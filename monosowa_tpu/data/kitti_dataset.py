@@ -90,6 +90,11 @@ class KittiDetectionDataset:
         self.meanshape = bool(cfg.get("meanshape", False))
         self.cls_mean_size = (CLS_MEAN_SIZE if self.meanshape
                               else np.zeros((3, 3), np.float32))
+        # use_depth: dense depth appended as a 4th input channel
+        # (reference kitti_dataset.py:49-51, 173-230; encode :224-230:
+        # clip 0..150, /75, -1)
+        self.use_depth = bool(cfg.get("use_depth", False))
+        self.depth_path = cfg.get("depth_path", "")
         # use_add_data: pseudo-label cars for the TFL/mask aux losses
         # (reference kitti_dataset.py:421-449 zstd blobs -> fixed-shape SoA)
         self.use_add_data = bool(cfg.get("use_add_data", False))
@@ -124,6 +129,16 @@ class KittiDetectionDataset:
         return read_label_file(os.path.join(self.data_dir, "label_2",
                                             f"{idx}.txt"))
 
+    def get_depth(self, idx: str) -> np.ndarray:
+        """(H, W) float32 dense depth (meters) from depth_path/<idx>.npz
+        (key 'depth') or .npy — the zstd-dill blobs of the reference
+        (:130-137) swapped for a dependency-free format."""
+        base = os.path.join(self.depth_path, idx)
+        if os.path.exists(base + ".npz"):
+            with np.load(base + ".npz") as z:
+                return z["depth"].astype(np.float32)
+        return np.load(base + ".npy").astype(np.float32)
+
     # -- canonical module --------------------------------------------------
     def adjust_intrinsics(self, fx, fy, cx, cy, img_size, center, crop_scale,
                           crop_size, flip):
@@ -155,6 +170,7 @@ class KittiDetectionDataset:
         center = img_size / 2.0
         crop_size, crop_scale = img_size.copy(), 1.0
         flip = False
+        depth_map = self.get_depth(idx) if self.use_depth else None
 
         if self.data_augmentation:
             if self.aug_pd:
@@ -165,6 +181,8 @@ class KittiDetectionDataset:
             if np.random.random() < self.random_flip:
                 flip = True
                 img = img.transpose(Image.FLIP_LEFT_RIGHT)
+                if depth_map is not None:
+                    depth_map = np.fliplr(depth_map)
             if self.aug_crop and np.random.random() < self.random_crop:
                 crop_scale = float(np.clip(np.random.randn() * self.scale + 1,
                                            1 - self.scale, 1 + self.scale))
@@ -184,6 +202,15 @@ class KittiDetectionDataset:
                             resample=Image.BILINEAR)
         image = np.array(img).astype(np.float32) / 255.0
         image = (image - MEAN) / STD            # HWC (NHWC model input)
+        if depth_map is not None:
+            dimg = Image.fromarray(np.ascontiguousarray(depth_map), mode="F")
+            dimg = dimg.transform(tuple(int(v) for v in self.resolution),
+                                  method=Image.AFFINE,
+                                  data=tuple(trans_inv.reshape(-1).tolist()),
+                                  resample=Image.BILINEAR)
+            d = np.asarray(dimg, np.float32)
+            d = np.clip(d, 0.0, 150.0) / 75.0 - 1.0    # (:224-230)
+            image = np.concatenate([image, d[..., None]], axis=-1)
 
         fu, fv, cu, cv, height_crop = self.adjust_intrinsics(
             calib.fu, calib.fv, calib.cu, calib.cv, img_size, center,

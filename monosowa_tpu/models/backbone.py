@@ -48,14 +48,24 @@ class Bottleneck(nn.Module):
 
 
 class ResNet50(nn.Module):
-    """Returns (C3, C4, C5): strides 8/16/32, channels 512/1024/2048."""
+    """Returns (C3, C4, C5): strides 8/16/32, channels 512/1024/2048.
+
+    ``depth_input``: 4-channel RGB-D stem (reference backbone.py:109-111:
+    conv1 re-made as 4-in with xavier-uniform init; the input channel count
+    itself is inferred from the input).  Deviation: the reference also
+    swaps FrozenBatchNorm for trainable BatchNorm2d in depth mode — here
+    the norm stays frozen (no pretrained RGB-D stats exist either way).
+    """
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    depth_input: bool = False
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        stem_init = (nn.initializers.xavier_uniform() if self.depth_input
+                     else nn.initializers.lecun_normal())
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, name="conv1")(x)
+                    use_bias=False, kernel_init=stem_init, name="conv1")(x)
         y = FrozenBatchNorm(64, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

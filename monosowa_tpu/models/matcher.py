@@ -18,7 +18,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-from monosowa_tpu.ops.lap import solve_lap_host, solve_lap_auction
+from monosowa_tpu.ops.lap import (solve_lap_auction, solve_lap_host,
+                                  solve_lap_jv)
 
 BIG = 1e6
 
@@ -55,7 +56,9 @@ class MatcherConfig:
     cost_giou: float = 2.0
     focal_alpha: float = 0.25
     focal_gamma: float = 2.0
-    backend: str = "host"  # "host" (scipy callback) or "auction" (on-device)
+    backend: str = "host"  # "host" (scipy callback), "jv" (exact on-device
+    #                        shortest-augmenting-path), "auction" (on-device
+    #                        eps-scaled, near-optimal)
 
 
 def _cost_matrix(logits, boxes, tgt_labels, tgt_boxes, tgt_valid,
@@ -97,6 +100,8 @@ def hungarian_match(pred_logits: jnp.ndarray, pred_boxes: jnp.ndarray,
 
         if cfg.backend == "auction":
             solve = lambda c: solve_lap_auction(c, nvalid)
+        elif cfg.backend == "jv":
+            solve = lambda c: solve_lap_jv(c, nvalid)
         else:
             solve = lambda c: solve_lap_host(c, nvalid)
         return jax.vmap(solve)(groups).reshape(gq)

@@ -33,7 +33,8 @@ import numpy as np
 from monosowa_tpu.models.backbone import ResNet50
 from monosowa_tpu.models.depth_predictor import DepthPredictor
 from monosowa_tpu.models.layers import MLP, inverse_sigmoid
-from monosowa_tpu.models.position_encoding import sine_position_encoding
+from monosowa_tpu.models.position_encoding import (LearnedPositionEmbedding,
+                                                   sine_position_encoding)
 from monosowa_tpu.models.transformer import (
     DepthAwareDecoderLayer, VisualEncoder)
 
@@ -86,17 +87,21 @@ class MonoDETR(nn.Module):
     depth_max: float = 60.0
     msda_backend: str = "xla"   # "pallas" = ops/msda_pallas VMEM kernel
     two_stage: bool = False     # encoder-proposal branch (monodetr.py:234+)
+    position_embedding: str = "sine"   # "sine" | "learned" (:644-660)
+    use_depth: bool = False     # 4-channel RGB-D input (backbone.py:109-111)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, calibs: jnp.ndarray,
                  img_sizes: jnp.ndarray, training: bool = False,
                  dn_queries=None) -> Dict[str, Any]:
-        """images (B, H, W, 3) normalized; calibs (B, 3, 4) P2; img_sizes
-        (B, 2) as (width, height).  Returns the reference's output dict."""
+        """images (B, H, W, 3) normalized (4 channels with use_depth);
+        calibs (B, 3, 4) P2; img_sizes (B, 2) as (width, height).  Returns
+        the reference's output dict."""
         deterministic = not training
         b = images.shape[0]
 
-        feats = ResNet50(name="backbone")(images)  # C3, C4, C5
+        feats = ResNet50(depth_input=self.use_depth,
+                         name="backbone")(images)  # C3, C4, C5
 
         srcs = []
         for i, f in enumerate(feats):
@@ -107,8 +112,14 @@ class MonoDETR(nn.Module):
         srcs.append(nn.GroupNorm(num_groups=32)(y))
 
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
-        pos = [jnp.asarray(sine_position_encoding(h, w, self.d_model // 2))
-               for h, w in spatial_shapes]
+        if self.position_embedding == "learned":
+            lpe = LearnedPositionEmbedding(self.d_model // 2,
+                                           name="position_embedding")
+            pos = [lpe(h, w) for h, w in spatial_shapes]
+        else:
+            pos = [jnp.asarray(sine_position_encoding(h, w,
+                                                      self.d_model // 2))
+                   for h, w in spatial_shapes]
 
         level_embed = self.param("level_embed", nn.initializers.normal(1.0),
                                  (self.num_feature_levels, self.d_model))
@@ -385,4 +396,6 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         depth_max=float(cfg.get("depth_max", 60.0)),
         msda_backend=cfg.get("msda_backend", "xla"),
         two_stage=bool(cfg.get("two_stage", False)),
+        position_embedding=cfg.get("position_embedding", "sine"),
+        use_depth=bool(cfg.get("use_depth", False)),
     )

@@ -50,6 +50,171 @@ def solve_lap_host(cost: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
         vmap_method="sequential")
 
 
+@jax.jit
+def solve_lap_jv(cost: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
+    """Exact Hungarian via shortest augmenting paths (Jonker-Volgenant
+    style, the classical O(n^3) potentials formulation), fully on device.
+
+    One augmentation per valid column: a dense Dijkstra over rows with
+    reduced costs, then potential updates and path flipping.  All loops are
+    lax control flow with fixed-size state; the inner Dijkstra exits as
+    soon as it pops an unassigned row, so sequential trip counts track the
+    actual contention instead of a worst-case round budget (the epsilon-
+    scaled auction burns ~10x200 rounds re-assigning its dummy columns).
+    Exact: matches scipy.linear_sum_assignment total cost to fp rounding.
+    """
+    q, mmax = cost.shape
+    c = cost.T.astype(jnp.float32)                  # (M, Q) person x object
+    inf = jnp.float32(jnp.inf)
+
+    def augment(i, carry):
+        u, v, p = carry    # u (M,) person potentials; v (Q,); p (Q,) -> person
+
+        def do(carry):
+            u, v, p = carry
+            minv = c[i] - u[i] - v                  # (Q,)
+            way = jnp.full(q, -1, jnp.int32)
+            used = jnp.zeros(q, bool)
+
+            def cond(st):
+                return ~st[6]
+
+            def body(st):
+                u, v, p, minv, way, used, done, j_end = st
+                mv = jnp.where(used, inf, minv)
+                j1 = jnp.argmin(mv).astype(jnp.int32)
+                delta = mv[j1]
+                # potentials: virtual start column keeps u[i] in every step
+                u_pad = jnp.concatenate([u, jnp.zeros(1, u.dtype)])
+                owners = jnp.where(used, p, mmax)
+                u_pad = u_pad.at[owners].add(
+                    jnp.where(used, delta, 0.0))
+                u = u_pad[:mmax].at[i].add(delta)
+                v = jnp.where(used, v - delta, v)
+                minv = jnp.where(used, minv, minv - delta)
+                used = used.at[j1].set(True)
+                done = p[j1] < 0
+                # extend the search tree through j1's current person
+                i2 = jnp.maximum(p[j1], 0)
+                cur = c[i2] - u[i2] - v
+                better = (cur < minv) & ~used & ~done
+                minv = jnp.where(better, cur, minv)
+                way = jnp.where(better, j1, way)
+                return u, v, p, minv, way, used, done, j1
+
+            u, v, p, minv, way, used, _, j_end = jax.lax.while_loop(
+                cond, body,
+                (u, v, p, minv, way, used, jnp.bool_(False),
+                 jnp.int32(-1)))
+
+            # flip the augmenting path back to the tree root
+            def flip_cond(st):
+                return st[0] >= 0
+
+            def flip(st):
+                j, p = st
+                jprev = way[j]
+                newp = jnp.where(jprev < 0, i, p[jnp.maximum(jprev, 0)])
+                return jprev, p.at[j].set(newp)
+
+            _, p = jax.lax.while_loop(flip_cond, flip, (j_end, p))
+            return u, v, p
+
+        return jax.lax.cond(i < m, do, lambda car: car, (u, v, p))
+
+    u = jnp.zeros(mmax, jnp.float32)
+    v = jnp.zeros(q, jnp.float32)
+    p = jnp.full(q, -1, jnp.int32)
+    _, _, p = jax.lax.fori_loop(0, mmax, augment, (u, v, p))
+    return p
+
+
+@partial(jax.jit, static_argnames=("num_phases", "rounds_per_phase"))
+def solve_lap_auction_fast(cost: jnp.ndarray, m: jnp.ndarray,
+                           num_phases: int = 6,
+                           rounds_per_phase: int = 100) -> jnp.ndarray:
+    """Asymmetric forward auction: only the ``m`` valid COLUMNS bid (for
+    rows), no dummy columns.
+
+    The squared formulation (solve_lap_auction) spends most of its rounds
+    on bidding wars among the (Q - m) uniform-benefit dummy columns it
+    introduces — e.g. ~42 dummies for a DETR group of 50 queries x 8
+    targets — which dominates the device while_loop's sequential latency.
+    Here each person is a real target; rounds scale with target count and
+    contention only.  epsilon-scaled; persons-complete assignments satisfy
+    eps-CS, giving total benefit within m*eps_final of optimal — checked
+    exactly against scipy on randomized DETR-style matrices in
+    tests/test_matcher_criterion.py.
+    """
+    q, mmax = cost.shape
+    benefit = -cost.T                                   # (M, Q) persons x rows
+    person_valid = jnp.arange(mmax) < m
+    person_ids = jnp.arange(mmax, dtype=jnp.int32)
+
+    spread = jnp.maximum(jnp.max(cost) - jnp.min(cost), 1.0)
+    eps_final = spread * 1e-5
+    eps0 = spread / 2.0
+    shrink = (eps_final / eps0) ** (1.0 / max(num_phases - 1, 1))
+
+    def phase(p, carry):
+        prices, _, _ = carry
+        eps = eps0 * shrink ** p
+        owner = jnp.full(q, -1, jnp.int32)              # row -> person
+        assigned = jnp.full(mmax, -1, jnp.int32)        # person -> row
+
+        def cond(state):
+            it, _, _, assigned = state
+            return (it < rounds_per_phase) & jnp.any(
+                (assigned < 0) & person_valid)
+
+        def round_(state):
+            it, prices, owner, assigned = state
+            unassigned = (assigned < 0) & person_valid
+            vals = benefit - prices[None, :]            # (M, Q)
+            best = jnp.argmax(vals, axis=1)
+            best_val = jnp.max(vals, axis=1)
+            vals2 = vals.at[person_ids, best].set(-jnp.inf)
+            second_val = jnp.max(vals2, axis=1)
+            bid = jnp.take(prices, best) + best_val - second_val + eps
+
+            bids_on = (jax.lax.broadcasted_iota(jnp.int32, (q, mmax), 0)
+                       == best[None, :]) & unassigned[None, :]
+            bid_mat = jnp.where(bids_on, bid[None, :], -jnp.inf)
+            win_val = jnp.max(bid_mat, axis=1)          # (Q,)
+            win_person = jnp.argmax(bid_mat, axis=1).astype(jnp.int32)
+            has_bid = jnp.isfinite(win_val)
+
+            disp = jnp.any(
+                has_bid[:, None] & (owner[:, None] == person_ids[None, :])
+                & (win_person[:, None] != person_ids[None, :]), axis=0)
+            assigned = jnp.where(disp, -1, assigned)
+            rows = jnp.arange(q, dtype=jnp.int32)
+            padded = jnp.concatenate([assigned,
+                                      jnp.full(1, -1, jnp.int32)])
+            idx = jnp.where(has_bid, win_person, mmax)
+            padded = padded.at[idx].set(jnp.where(has_bid, rows, -1))
+            assigned = padded[:mmax]
+            owner = jnp.where(has_bid, win_person, owner)
+            prices = jnp.where(has_bid, win_val, prices)
+            return it + 1, prices, owner, assigned
+
+        _, prices, owner, assigned = jax.lax.while_loop(
+            cond, round_, (0, prices, owner, assigned))
+        return prices, owner, assigned
+
+    prices = jnp.zeros(q)
+    owner = jnp.full(q, -1, jnp.int32)
+    assigned = jnp.full(mmax, -1, jnp.int32)
+    prices, owner, assigned = jax.lax.fori_loop(
+        0, num_phases, phase, (prices, owner, assigned))
+
+    out = jnp.full(q, -1, jnp.int32)
+    rows = jnp.where((assigned >= 0) & person_valid, assigned, q)
+    padded = jnp.concatenate([out, jnp.full(1, -1, jnp.int32)])
+    padded = padded.at[rows].max(jnp.where(person_valid, person_ids, -1))
+    return padded[:q]
+
+
 @partial(jax.jit, static_argnames=("num_phases", "rounds_per_phase"))
 def solve_lap_auction(cost: jnp.ndarray, m: jnp.ndarray,
                       num_phases: int = 10,

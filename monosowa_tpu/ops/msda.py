@@ -85,7 +85,8 @@ def _gather_rows(vflat: jnp.ndarray, flat: jnp.ndarray, m: int, d: int
     return out.reshape(flat.shape + (d,))
 
 
-def _quad_slot_geometry(loc: jnp.ndarray, h: int, w: int):
+def _quad_slot_geometry(loc: jnp.ndarray, h: int, w: int,
+                        with_derivs: bool = True):
     """Quad-gather geometry: all 4 bilinear corners of a sample live in one
     pre-concatenated row (see _quad_value), so ONE gather per sample fetches
     them — gathers on TPU are row-rate-bound (~1e8 rows/s), so folding the
@@ -123,8 +124,9 @@ def _quad_slot_geometry(loc: jnp.ndarray, h: int, w: int):
         sy = jnp.clip(cy - by, 0, 1).astype(jnp.int32)
         oh = jax.nn.one_hot(sy * 2 + sx, 4, dtype=loc.dtype)
         slot_w = slot_w + oh * (cw * inb)[..., None]
-        slot_dwx = slot_dwx + oh * (dwx * inb)[..., None]
-        slot_dwy = slot_dwy + oh * (dwy * inb)[..., None]
+        if with_derivs:
+            slot_dwx = slot_dwx + oh * (dwx * inb)[..., None]
+            slot_dwy = slot_dwy + oh * (dwy * inb)[..., None]
     return flat00, slot_w, slot_dwx, slot_dwy
 
 
@@ -145,7 +147,7 @@ def _bilinear_gather_quad(quad_flat: jnp.ndarray, loc: jnp.ndarray,
                           ) -> jnp.ndarray:
     """quad_flat (B, T*M, 4D); loc (B, Q, M, P, 2); aw (B, Q, M, P) ->
     (B, Q, M, D): one gather + slot-weighted contraction per sample."""
-    flat00, slot_w, _, _ = _quad_slot_geometry(loc, h, w)
+    flat00, slot_w, _, _ = _quad_slot_geometry(loc, h, w, with_derivs=False)
     rows = _gather_rows(quad_flat, flat00, m, 4 * d)
     rows = rows.reshape(rows.shape[:-1] + (4, d))       # (B,Q,M,P,4,D)
     coef = slot_w * aw[..., None]
@@ -300,6 +302,32 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
         t_l = h * w_l
         iota_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t_l), 3)
 
+        def dv_chunk_quad(args, lvl=lvl, t_l=t_l, iota_t=iota_t, h=h,
+                          w_l=w_l):
+            """Quad dValue: one-hot the ANCHOR index only (4x fewer samples
+            than per-corner), payload = slot_coef x dout rows (4D wide);
+            the (B, M, T, 4, D) result is folded to tokens by the inverse
+            shifts after the scan."""
+            loc_c, aw_c, do_c = args
+            flat00, slot_w, _, _ = _quad_slot_geometry(
+                loc_c[:, :, :, lvl], h, w_l, with_derivs=False)
+            coef = slot_w * aw_c[:, :, :, lvl][..., None]  # (B,C,M,P,4)
+            cq = loc_c.shape[1]
+            j = cq * n_points
+            rows = jnp.moveaxis(flat00, 2, 1).reshape(b, m, j)
+            coef = jnp.moveaxis(coef, 2, 1).reshape(b, m, j, 4)
+            onehot = (rows[..., None] == iota_t).astype(onehot_dtype)
+            do_s = jnp.moveaxis(do_c, 2, 1)
+            do_s = jnp.broadcast_to(
+                do_s[:, :, :, None, :],
+                (b, m, cq, n_points, d)).reshape(b, m, j, d)
+            payload = (coef[..., None] * do_s[..., None, :]) \
+                .reshape(b, m, j, 4 * d)
+            return jax.lax.dot_general(
+                onehot, payload.astype(onehot_dtype),
+                (((2,), (2,)), ((0, 1), (0, 1))),
+                preferred_element_type=jnp.float32)       # (B,M,T,4D)
+
         def dv_chunk(args, lvl=lvl, t_l=t_l, iota_t=iota_t):
             loc_c, aw_c, do_c = args
             geom = _corner_geometry(loc_c[:, :, :, lvl], h, w_l)
@@ -324,12 +352,28 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
                 (((2,), (2,)), ((0, 1), (0, 1))),
                 preferred_element_type=jnp.float32)       # (B,M,T,D)
 
-        # scan (not map): accumulate into one (B, M, T, D) carry instead of
-        # stacking n_chunks copies of it
-        dv_l, _ = jax.lax.scan(
-            lambda acc, args: (acc + dv_chunk(args), None),
-            jnp.zeros((b, m, t_l, d), jnp.float32),
-            (locs_v, wts_v, douts_v))
+        # scan (not map): accumulate into one carry instead of stacking
+        # n_chunks copies of it
+        if gather_mode == "quad":
+            dvq, _ = jax.lax.scan(
+                lambda acc, args: (acc + dv_chunk_quad(args), None),
+                jnp.zeros((b, m, t_l, 4 * d), jnp.float32),
+                (locs_v, wts_v, douts_v))
+            dvq = dvq.reshape(b, m, t_l, 4, d)
+
+            def shifted(slot, k):
+                if k == 0:
+                    return dvq[:, :, :, slot]
+                pad = jnp.zeros((b, m, k, d), jnp.float32)
+                return jnp.concatenate([pad, dvq[:, :, :-k, slot]], 2)
+
+            dv_l = (shifted(0, 0) + shifted(1, 1)
+                    + shifted(2, w_l) + shifted(3, w_l + 1))
+        else:
+            dv_l, _ = jax.lax.scan(
+                lambda acc, args: (acc + dv_chunk(args), None),
+                jnp.zeros((b, m, t_l, d), jnp.float32),
+                (locs_v, wts_v, douts_v))
         dvalue_levels.append(jnp.moveaxis(dv_l, 1, 2))    # (B,T,M,D)
     dvalue = jnp.concatenate(dvalue_levels, 1).astype(value.dtype)
     return dvalue, dloc, dw
@@ -365,7 +409,7 @@ def ms_deform_attn(value: jnp.ndarray,
                    sampling_locations: jnp.ndarray,
                    attention_weights: jnp.ndarray,
                    chunk_q: int = 1024,
-                   dv_chunk_q: int = 32,
+                   dv_chunk_q: int = 256,
                    onehot_dtype: str = "float32",
                    custom_vjp: bool = True,
                    gather_mode: str = "quad") -> jnp.ndarray:

@@ -26,6 +26,44 @@ class MaskBackend(Protocol):
         ...
 
 
+class MaskRefineBackend(Protocol):
+    """Box-prompted mask refinement (the reference's SAM ViT-H stage,
+    run_SAM_batch filtering.py:112-148 / load_and_init_SAM loader.py:97-103):
+    given the image and one 2D box per instance, return one refined mask
+    per box (SamPredictor.predict(box=..., multimask_output=False))."""
+
+    def refine(self, image: np.ndarray, boxes: np.ndarray
+               ) -> List[np.ndarray]:
+        """image (H, W, 3) uint8; boxes (N, 4) [x1, y1, x2, y2] int ->
+        N (H, W) bool masks."""
+        ...
+
+
+def mask_box(mask: np.ndarray) -> np.ndarray:
+    ys, xs = np.where(mask)
+    if len(xs) == 0:
+        return np.zeros(4, np.int64)
+    return np.array([xs.min(), ys.min(), xs.max(), ys.max()], np.int64)
+
+
+def refine_masks(masks: List[np.ndarray], scores: List[float],
+                 image: np.ndarray, backend: MaskRefineBackend,
+                 score_thresh: float = SCORE_THRESHOLD) -> List[np.ndarray]:
+    """Replace each above-threshold detection's mask with the backend's
+    box-prompted refinement (run_SAM_batch :133-146: boxes come from the
+    detector's pred_boxes; low-score masks pass through untouched)."""
+    eligible = [i for i, s in enumerate(scores)
+                if s > score_thresh and np.any(masks[i])]
+    if not eligible:
+        return list(masks)
+    boxes = np.stack([mask_box(masks[i]) for i in eligible])
+    refined = backend.refine(image, boxes)
+    out = list(masks)
+    for j, i in enumerate(eligible):
+        out[i] = np.asarray(refined[j], bool)
+    return out
+
+
 def save_masks(cache_dir: str, frame: str, masks: List[np.ndarray],
                img_hw) -> None:
     os.makedirs(cache_dir, exist_ok=True)

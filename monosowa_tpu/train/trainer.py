@@ -7,8 +7,8 @@ sum of the criterion dict.
 
 TPU design: one jitted ``train_step`` consuming a globally-sharded batch
 (parallel.mesh); gradients all-reduce over ICI implicitly.  The matcher
-runs the on-device auction backend under jit (no host callbacks inside the
-sharded step).
+runs the exact on-device JV backend under jit (no host callbacks inside
+the sharded step).
 """
 
 from __future__ import annotations
@@ -94,7 +94,7 @@ def criterion_config_from_yaml(model: MonoDETR,
     return CriterionConfig(
         group_num=model.group_num, num_queries=model.num_queries,
         num_classes=model.num_classes,
-        matcher=MatcherConfig(backend="auction"),
+        matcher=MatcherConfig(backend="jv"),
         focal_alpha=float(mcfg.get("focal_alpha", 0.25)),
         w_cls=float(mcfg.get("cls_loss_coef", 2)),
         w_bbox=float(mcfg.get("bbox_loss_coef", 5)),
@@ -116,12 +116,12 @@ def criterion_config_from_yaml(model: MonoDETR,
 
 def make_train_step(model: MonoDETR, ccfg: Optional[CriterionConfig] = None):
     """Build the jitted train step.  ccfg defaults to the reference loss
-    weights with the device-native auction matcher."""
+    weights with the exact on-device JV matcher."""
     if ccfg is None:
         ccfg = CriterionConfig(
             group_num=model.group_num, num_queries=model.num_queries,
             num_classes=model.num_classes,
-            matcher=MatcherConfig(backend="auction"))
+            matcher=MatcherConfig(backend="jv"))
     templates = template_dims = None
     if ccfg.use_tfl or ccfg.use_mask_loss:
         templates, template_dims = _tfl_templates()

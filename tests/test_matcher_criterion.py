@@ -31,6 +31,23 @@ def test_lap_host_respects_valid_count():
     assert set(got[got >= 0]) == {0, 1, 2}
 
 
+def test_lap_jv_matches_scipy_exactly():
+    from monosowa_tpu.ops.lap import solve_lap_jv
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        m = int(rng.integers(1, 51))
+        scale = 10 ** rng.uniform(-2, 2)
+        cost = (rng.normal(size=(50, 50)) * scale).astype(np.float32)
+        got = np.asarray(solve_lap_jv(jnp.asarray(cost), jnp.int32(m)))
+        rows, cols = linear_sum_assignment(cost[:, :m].astype(np.float64))
+        assert (got >= 0).sum() == m
+        assert set(got[got >= 0]) == set(range(m))
+        sel = np.where(got >= 0)[0]
+        val = cost[sel, got[sel]].astype(np.float64).sum()
+        opt = cost[rows, cols].astype(np.float64).sum()
+        assert val == pytest.approx(opt, rel=1e-6, abs=1e-5)
+
+
 def test_lap_auction_near_optimal():
     rng = np.random.default_rng(2)
     for _ in range(3):
