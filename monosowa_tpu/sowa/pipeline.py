@@ -106,7 +106,8 @@ class PseudoLabeler:
     # ------------------------------------------------------------------
     def label_from_cars(self, kept, points, ref_masks,
                         window_frames, precomputed=None,
-                        precomputed_nms=None) -> List[dict]:
+                        precomputed_nms=None,
+                        precomputed_refit=None) -> List[dict]:
         """Fit + NMS + assemble from aggregated per-car point clouds —
         the `optimization` stage when the `frames_aggregation` cache is
         already on disk (cache.load_merged_cars).
@@ -115,6 +116,9 @@ class PseudoLabeler:
         external batched fit (label_frames) — skips the per-frame fit.
         ``precomputed_nms``: optional (keep (max_cars,), merged (max_cars,))
         from a cross-frame vmapped NMS — skips the per-frame NMS dispatch.
+        ``precomputed_refit``: optional {target_index: (center (3,), theta)}
+        from a cross-frame batched merge re-fit — skips the per-frame
+        re-fit dispatch (may be an empty dict).
         """
         cfg = self.cfg
         if not kept:
@@ -176,7 +180,11 @@ class PseudoLabeler:
 
         refit_targets = sorted({int(merged[i]) for i in range(n)
                                 if not keep[i] and keep[merged[i]]})
-        if refit_targets:
+        if precomputed_refit is not None:
+            for t, (c_t, th_t) in precomputed_refit.items():
+                center[t] = c_t
+                theta[t] = th_t
+        elif refit_targets:
             merged_points = []
             for t in refit_targets:
                 parts = [points[t]] + [points[i] for i in range(n)
@@ -191,10 +199,14 @@ class PseudoLabeler:
             sub_res = fit_cars_conv(sub_batch, self.template,
                                     self.occ_kernels, self.memb_kernels,
                                     self.conv_spec, cfg.fit)
+            # one host pull per array, not one per scalar (each float() is
+            # a full device round-trip)
+            sx, sy, sz, st = (np.asarray(sub_res.x), np.asarray(sub_res.y),
+                              np.asarray(sub_res.z),
+                              np.asarray(sub_res.theta))
             for j, t in enumerate(refit_targets):
-                center[t] = [float(sub_res.x[j]), float(sub_res.y[j]),
-                             float(sub_res.z[j])]
-                theta[t] = float(sub_res.theta[j])
+                center[t] = [sx[j], sy[j], sz[j]]
+                theta[t] = st[j]
 
         # ---- optional per-car refinement (scale detector / reducer /
         # dimension estimation — main_class.py dimensions_output path) ----
@@ -279,17 +291,58 @@ class PseudoLabeler:
         """Whole-sequence batched labelling (SURVEY.md §5.7): aggregate all
         frames' cars on host, fit them in ONE fit_cars_conv call, then run
         per-frame NMS/refit/writing.  Each job dict needs the label_frame
-        arguments plus ``out_path``.
+        arguments plus ``out_path``; an optional ``frame_ids`` list (one
+        global id per window index) lets overlapping windows SHARE each
+        frame's camera-space candidate extraction — the dominant host cost
+        — instead of recomputing it per window (~window-size x).
 
         Returns the number of frames written.  Designed so the TPU sees one
         large batch per group of frames instead of per-frame dispatches.
         """
         cfg = self.cfg
 
+        todo = [j for j in frame_jobs
+                if overwrite or not os.path.exists(j["out_path"])]
+        from concurrent.futures import ThreadPoolExecutor
+
+        # phase A: camera-frame candidates, once per DISTINCT frame
+        cam_cache = {}
+        have_ids = bool(todo) and all("frame_ids" in j for j in todo)
+        if have_ids:
+            tasks = {}
+            for j in todo:
+                for k, fid in enumerate(j["frame_ids"]):
+                    tasks.setdefault(fid, (j, k))
+
+            def extract_one(fid):
+                j, k = tasks[fid]
+                pts = j["get_points"](k)
+                masks_k = j["get_masks"](k)
+                if pts is None or masks_k is None or len(masks_k) == 0:
+                    return fid, None
+                return fid, candidates.extract_candidates_cam(
+                    pts, j["p2"], j["img_hw"], masks_k, cfg.candidate)
+
+            fids = list(tasks)
+            if len(fids) > 1:
+                with ThreadPoolExecutor(max_workers=min(8, len(fids))) as p:
+                    for fid, c in p.map(extract_one, fids):
+                        cam_cache[fid] = c
+            else:
+                for fid in fids:
+                    cam_cache[fid] = extract_one(fid)[1]
+
         def prep(job):
             window_frames = job["window_frames"]
             cands = []
             for k in range(len(window_frames)):
+                if have_ids:
+                    cand_cam = cam_cache[job["frame_ids"][k]]
+                    cands.append(None if cand_cam is None else
+                                 candidates.transform_candidates(
+                                     cand_cam, job["transforms"][k],
+                                     cfg.candidate))
+                    continue
                 pts = job["get_points"](k)
                 masks_k = job["get_masks"](k)
                 if pts is None or masks_k is None or len(masks_k) == 0:
@@ -307,11 +360,9 @@ class PseudoLabeler:
             return dict(job=job, kept=kept, points=points,
                         ref_masks=ref_masks, window=window_frames)
 
-        # host prep (mask erosion / projection / tracking — numpy + scipy,
-        # GIL-releasing) threads across frames so it overlaps rather than
-        # serializes ahead of the one big device fit
-        todo = [j for j in frame_jobs
-                if overwrite or not os.path.exists(j["out_path"])]
+        # host prep (tracking / aggregation — numpy + scipy, GIL-releasing)
+        # threads across frames so it overlaps rather than serializes ahead
+        # of the one big device fit
         if len(todo) > 1:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=min(8, len(todo))) as pool:
@@ -332,23 +383,30 @@ class PseudoLabeler:
             owners.extend([fi] * n_i)
         n_written = 0
         if all_tracks:
+            # bucket the batch size so repeated label_frames calls reuse the
+            # compiled fit instead of recompiling per distinct car count
+            bucket = -(-len(all_tracks) // 32) * 32
             big = aggregation.build_car_batch(
                 all_tracks, all_points, prepared[0]["window"],
-                max_cars=len(all_tracks), max_points=cfg.max_points,
+                max_cars=bucket, max_points=cfg.max_points,
                 per_track_windows=all_windows)
             res = fit_cars_conv(big, self.template, self.occ_kernels,
                                 self.memb_kernels, self.conv_spec, cfg.fit)
-            centers = np.stack([np.asarray(res.x), np.asarray(res.y),
-                                np.asarray(res.z)], 1)
-            thetas = np.asarray(res.theta)
+            # ONE host pull for the whole result (each pull is a full
+            # device round-trip under remote execution)
+            import jax.numpy as _jnp
+            packed = np.asarray(_jnp.stack([res.x, res.y, res.z, res.theta]))
+            centers = packed[:3].T
+            thetas = packed[3]
         owners = np.asarray(owners, np.int64) if owners else np.zeros(0)
 
-        # one vmapped NMS over all frames instead of F per-frame dispatches
+        # one vmapped NMS over all frames instead of F per-frame dispatches;
+        # frame count padded to a bucket for compile-cache stability
         nms_by_frame = {}
         if all_tracks:
             mc = cfg.max_cars
             l0, w0, h0 = cfg.template_dims_lwh
-            f_n = len(prepared)
+            f_n = -(-len(prepared) // 8) * 8
             c_f = np.zeros((f_n, mc, 3), np.float32)
             t_f = np.zeros((f_n, mc), np.float32)
             np_f = np.zeros((f_n, mc), np.float32)
@@ -368,10 +426,46 @@ class PseudoLabeler:
                 jnp.asarray(c_f), jnp.asarray(lwh_f), jnp.asarray(t_f),
                 jnp.asarray(np_f), jnp.asarray(v_f),
                 jnp.float32(cfg.nms_iou))
-            keep_f = np.asarray(keep_f)
-            merged_f = np.asarray(merged_f)
+            packed_nms = np.asarray(jnp.stack(
+                [keep_f.astype(jnp.int32), merged_f.astype(jnp.int32)]))
             for fi in range(f_n):
-                nms_by_frame[fi] = (keep_f[fi], merged_f[fi])
+                nms_by_frame[fi] = (packed_nms[0, fi].astype(bool),
+                                    packed_nms[1, fi])
+
+        # cross-frame batched merge re-fit: collect every frame's NMS-merge
+        # targets and fit them in ONE device call instead of per-frame
+        # dispatches (each dispatch costs a full round-trip)
+        refit_by_frame = {fi: {} for fi in range(len(prepared))}
+        if all_tracks:
+            groups = []   # (fi, t, merged_points, track, window)
+            for fi, item in enumerate(prepared):
+                keep_i, merged_i = nms_by_frame[fi]
+                n_i = min(len(item["kept"]), cfg.max_cars)
+                targets = sorted({int(merged_i[i]) for i in range(n_i)
+                                  if not keep_i[i] and keep_i[merged_i[i]]})
+                for t in targets:
+                    parts = [item["points"][t]] + [
+                        item["points"][i] for i in range(n_i)
+                        if not keep_i[i] and merged_i[i] == t]
+                    groups.append((fi, t,
+                                   aggregation.cap_points(
+                                       np.concatenate(parts, 0)),
+                                   item["kept"][t], item["window"]))
+            if groups:
+                rb = -(-len(groups) // 32) * 32
+                rbatch = aggregation.build_car_batch(
+                    [g[3] for g in groups], [g[2] for g in groups],
+                    prepared[0]["window"], max_cars=rb,
+                    max_points=cfg.max_points,
+                    per_track_windows=[g[4] for g in groups])
+                rres = fit_cars_conv(rbatch, self.template,
+                                     self.occ_kernels, self.memb_kernels,
+                                     self.conv_spec, cfg.fit)
+                rpacked = np.asarray(jnp.stack(
+                    [rres.x, rres.y, rres.z, rres.theta]))
+                for gi, (fi, t, _, _, _) in enumerate(groups):
+                    refit_by_frame[fi][t] = (rpacked[:3, gi],
+                                             float(rpacked[3, gi]))
 
         for fi, item in enumerate(prepared):
             sel = np.where(owners == fi)[0]
@@ -380,7 +474,8 @@ class PseudoLabeler:
             cars = self.label_from_cars(item["kept"], item["points"],
                                         item["ref_masks"], item["window"],
                                         precomputed=pre,
-                                        precomputed_nms=nms_by_frame.get(fi))
+                                        precomputed_nms=nms_by_frame.get(fi),
+                                        precomputed_refit=refit_by_frame[fi])
             out_path = item["job"]["out_path"]
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             write_pseudo_label_file(out_path, cars)

@@ -1,0 +1,139 @@
+"""End-to-end pseudo-label pipeline benchmark at KITTI-realistic sizes.
+
+Builds a synthetic sequence (375x1242 frames, dense pseudo-LiDAR from a
+rendered depth image = ~460k points/frame, ~6 cars), then times
+PseudoLabeler.label_frames over a group of frames.
+
+Usage: python tools/bench_pipeline.py [n_frames] [--profile]
+"""
+
+import cProfile
+import os
+import pstats
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+H, W = 375, 1242
+FU = 721.5
+P2 = np.array([[FU, 0, W / 2, 0], [0, FU, H / 2, 0], [0, 0, 1, 0]])
+N_CARS = 6
+
+
+def make_sequence(n_frames=8, window=6, seed=0):
+    """Returns per-labeled-frame job kwargs for label_frames."""
+    from monosowa_tpu.sowa.templates import TemplateBank
+
+    rng = np.random.default_rng(seed)
+    bank = TemplateBank.default()
+
+    # static cars scattered over the road, ego drives +z at 0.8 m/frame
+    cars = []
+    for i in range(N_CARS):
+        cars.append(dict(
+            x=rng.uniform(-8, 8), y=1.1, z=rng.uniform(8, 45),
+            theta=rng.uniform(0, 2 * np.pi)))
+
+    total = n_frames + 2 * window
+    frames = []
+    ys, xs = np.mgrid[0:H, 0:W]
+    for k in range(total):
+        ego_z = k * 0.8
+        # depth image: ground plane + car boxes
+        depth = np.full((H, W), 300.0, np.float32)
+        # ground: y = 1.65 -> depth = fu * 1.65 / (v - cv) for v > cv
+        v_rel = ys - H / 2
+        ground_d = np.where(v_rel > 1, FU * 1.65 / np.maximum(v_rel, 1), 300.0)
+        depth = np.minimum(depth, ground_d)
+        masks = []
+        for car in cars:
+            z = car["z"] - ego_z
+            if z < 4 or z > 70:
+                masks.append(None)
+                continue
+            u = FU * car["x"] / z + W / 2
+            v = FU * car["y"] / z + H / 2
+            wpx = FU * 4.0 / z
+            hpx = FU * 1.6 / z
+            x1, x2 = int(u - wpx / 2), int(u + wpx / 2)
+            y1, y2 = int(v - hpx), int(v)
+            if x2 < 0 or x1 >= W or y2 < 0 or y1 >= H:
+                masks.append(None)
+                continue
+            x1, x2 = max(x1, 0), min(x2, W)
+            y1, y2 = max(y1, 0), min(y2, H)
+            m = np.zeros((H, W), bool)
+            m[y1:y2, x1:x2] = True
+            depth[m] = np.minimum(depth[m], z)
+            masks.append(m)
+        # back-project every pixel (Metric3D contract)
+        pts = np.stack([(xs - W / 2) * depth / FU,
+                        (ys - H / 2) * depth / FU,
+                        depth], -1).reshape(-1, 3).astype(np.float32)
+        pts += rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
+        t = np.eye(4)
+        t[2, 3] = -ego_z          # cur -> world-ish; per-job adjusted below
+        frames.append(dict(points=pts, masks=[m for m in masks
+                                              if m is not None], ego_z=ego_z))
+    return frames, window
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    do_profile = "--profile" in sys.argv
+
+    from monosowa_tpu.sowa import pipeline
+    from monosowa_tpu.sowa.fitting import FitConfig
+
+    frames, window = make_sequence(n_frames)
+    cfg = pipeline.PipelineConfig(
+        nscans_before=window, nscans_after=window, max_cars=16,
+        max_points=2048, min_standing_points=400,
+        fit=FitConfig(fine_chunk=12))
+    labeler = pipeline.PseudoLabeler(cfg)
+
+    tmp = tempfile.mkdtemp()
+    offsets = list(range(-window, window + 1))
+
+    def jobs(tag):
+        out = []
+        for fi in range(window, window + n_frames):
+            ref_z = frames[fi]["ego_z"]
+            transforms = []
+            for k in offsets:
+                t = np.eye(4)
+                t[2, 3] = frames[fi + k]["ego_z"] - ref_z
+                transforms.append(t)
+            out.append(dict(
+                out_path=os.path.join(tmp, f"{tag}_{fi:06d}.txt"),
+                window_frames=offsets,
+                frame_ids=[fi - window + k for k in range(len(offsets))],
+                get_points=(lambda k, fi=fi: frames[fi - window + k]["points"]),
+                get_masks=(lambda k, fi=fi: frames[fi - window + k]["masks"]),
+                transforms=np.stack(transforms), p2=P2, img_hw=(H, W)))
+        return out
+
+    # warmup (compiles) at the same job count -> same bucketed shapes
+    t0 = time.perf_counter()
+    labeler.label_frames(jobs("warm"))
+    print(f"# warmup ({n_frames} frames, compiles): "
+          f"{time.perf_counter() - t0:.1f}s")
+
+    if do_profile:
+        pr = cProfile.Profile()
+        pr.enable()
+    t0 = time.perf_counter()
+    n = labeler.label_frames(jobs("run"))
+    dt = time.perf_counter() - t0
+    if do_profile:
+        pr.disable()
+        pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
+    print(f"label_frames: {n} frames in {dt:.2f}s = {n / dt:.2f} frames/s")
+
+
+if __name__ == "__main__":
+    main()
