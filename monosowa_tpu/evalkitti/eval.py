@@ -225,6 +225,60 @@ def clean_data(gt_anno, dt_anno, current_class: int, difficulty: int):
     return num_valid_gt, ignored_gt, ignored_dt, dc_bboxes
 
 
+MAX_DISTANCE = [30, 50, 70]
+
+
+def clean_data_by_distance(gt_anno, dt_anno, current_class: int,
+                           difficulty: int, distance_cover: bool = False):
+    """Distance-stratified validity (eval.py:85-160 clean_data_by_distance):
+    'difficulty' becomes a distance BAND — 0-30 m, 30-50 m, 50-70 m (or
+    cumulative bands with ``distance_cover``) — while occlusion/truncation/
+    height gates are fixed at the 'hard' settings."""
+    cls_name = CLASS_NAMES[current_class]
+    num_gt = len(gt_anno["name"])
+    num_dt = len(dt_anno["name"])
+    dc_bboxes, ignored_gt, ignored_dt = [], [], []
+    num_valid_gt = 0
+    for i in range(num_gt):
+        bbox = gt_anno["bbox"][i]
+        gt_name = str(gt_anno["name"][i]).lower()
+        height = bbox[3] - bbox[1]
+        if gt_name == cls_name:
+            valid_class = 1
+        elif cls_name == "pedestrian" and gt_name == "person_sitting":
+            valid_class = 0
+        elif cls_name == "car" and gt_name == "van":
+            valid_class = 0
+        else:
+            valid_class = -1
+        dis = float(np.linalg.norm(gt_anno["location"][i]))
+        ignore = (gt_anno["occluded"][i] > MAX_OCCLUSION[2]
+                  or gt_anno["truncated"][i] > MAX_TRUNCATION[2]
+                  or height <= MIN_HEIGHT[2]
+                  or dis > MAX_DISTANCE[difficulty])
+        if not distance_cover and difficulty > 0:
+            ignore = ignore or dis <= MAX_DISTANCE[difficulty - 1]
+        if valid_class == 1 and not ignore:
+            ignored_gt.append(0)
+            num_valid_gt += 1
+        elif valid_class == 0 or (ignore and valid_class == 1):
+            ignored_gt.append(1)
+        else:
+            ignored_gt.append(-1)
+        if str(gt_anno["name"][i]) == "DontCare":
+            dc_bboxes.append(gt_anno["bbox"][i])
+    for i in range(num_dt):
+        valid_class = 1 if str(dt_anno["name"][i]).lower() == cls_name else -1
+        height = abs(dt_anno["bbox"][i, 3] - dt_anno["bbox"][i, 1])
+        if height < MIN_HEIGHT[2]:
+            ignored_dt.append(1)
+        elif valid_class == 1:
+            ignored_dt.append(0)
+        else:
+            ignored_dt.append(-1)
+    return num_valid_gt, ignored_gt, ignored_dt, dc_bboxes
+
+
 def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
                        dc_bboxes, metric, min_overlap, thresh=0.0,
                        compute_fp=False, compute_aos=False):
@@ -309,13 +363,15 @@ def compute_statistics(overlaps, gt_datas, dt_datas, ignored_gt, ignored_det,
     return tp, fp, fn, similarity, np.array(thresholds)
 
 
-def _prepare_data(gt_annos, dt_annos, current_class, difficulty):
+def _prepare_data(gt_annos, dt_annos, current_class, difficulty,
+                  by_distance: bool = False):
     gt_datas_list, dt_datas_list = [], []
     ignored_gts, ignored_dets, dontcares = [], [], []
     total_dc_num = []
     total_num_valid_gt = 0
+    clean = clean_data_by_distance if by_distance else clean_data
     for gt, dt in zip(gt_annos, dt_annos):
-        num_valid_gt, ign_gt, ign_dt, dc = clean_data(
+        num_valid_gt, ign_gt, ign_dt, dc = clean(
             gt, dt, current_class, difficulty)
         ignored_gts.append(np.array(ign_gt, np.int64))
         ignored_dets.append(np.array(ign_dt, np.int64))
@@ -362,9 +418,11 @@ def _overlaps(gt_annos, dt_annos, metric):
 
 def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
                metric: int, min_overlap: float, compute_aos: bool = False,
-               num_sample_pts: int = 41):
+               num_sample_pts: int = 41, by_distance: bool = False):
     """One (class, difficulty, metric, overlap) evaluation.
 
+    ``by_distance`` switches difficulty to distance bands (0-30/30-50/
+    50-70 m, eval.py clean_data_by_distance — the eval_updated.py variant).
     Returns dict with precision/recall/aos arrays of length num_sample_pts.
     """
     from monosowa_tpu.evalkitti import native
@@ -375,7 +433,7 @@ def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
     overlaps = _overlaps(gt_annos, dt_annos, metric)
     (gt_datas, dt_datas, ignored_gts, ignored_dets, dontcares, _,
      total_num_valid_gt) = _prepare_data(gt_annos, dt_annos, current_class,
-                                         difficulty)
+                                         difficulty, by_distance)
     # pass 1: collect tp scores
     all_thresholds = []
     for k in range(len(gt_annos)):
@@ -436,16 +494,21 @@ def ap40(values: np.ndarray) -> float:
 
 # overlap thresholds: metric x class (car, ped, cyc) — eval.py:821-840
 OVERLAP_MOD = np.array([[0.7, 0.5, 0.5], [0.7, 0.5, 0.5], [0.7, 0.5, 0.5]])
-OVERLAP_EASY = np.array([[0.7, 0.5, 0.5], [0.5, 0.25, 0.25],
+OVERLAP_EASY = np.array([[0.5, 0.5, 0.5], [0.5, 0.25, 0.25],
                          [0.5, 0.25, 0.25]])
 
 
 def get_official_eval_result(gt_annos, dt_annos,
                              current_classes=(0,),
                              compute_aos: bool = False,
-                             overlap_sets=None) -> Dict[str, Dict]:
+                             overlap_sets=None,
+                             by_distance: bool = False) -> Dict[str, Dict]:
     """AP_R40 for bbox/bev/3d per class, difficulty, and the two standard
-    overlap settings (moderate 0.7, loose 0.5 for cars)."""
+    overlap settings (moderate 0.7, loose 0.5 for cars).
+
+    ``by_distance``: difficulty columns become 0-30 / 30-50 / 50-70 m
+    distance bands (the reference's eval_updated/get_distance_eval_result
+    protocol)."""
     if overlap_sets is None:
         overlap_sets = {"strict": OVERLAP_MOD, "loose": OVERLAP_EASY}
     results = {}
@@ -457,10 +520,18 @@ def get_official_eval_result(gt_annos, dt_annos,
                 aps40, aps11 = [], []
                 for difficulty in (0, 1, 2):
                     r = eval_class(gt_annos, dt_annos, cls, difficulty,
-                                   metric, min_ov, compute_aos)
+                                   metric, min_ov, compute_aos,
+                                   by_distance=by_distance)
                     aps40.append(ap40(r["precision"]))
                     aps11.append(ap11(r["precision"]))
                 key = f"{cls_name}_{metric_name}_{set_name}"
                 results[key] = {"ap40": aps40, "ap11": aps11,
                                 "min_overlap": float(min_ov)}
     return results
+
+
+def get_distance_eval_result(gt_annos, dt_annos, current_classes=(0,),
+                             compute_aos: bool = False) -> Dict[str, Dict]:
+    """Distance-stratified AP (get_distance_eval_result, eval.py:935)."""
+    return get_official_eval_result(gt_annos, dt_annos, current_classes,
+                                    compute_aos, by_distance=True)

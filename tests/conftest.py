@@ -18,3 +18,16 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compilation cache: XLA-CPU compiles dominate the suite's wall
+# clock (train-step/MSDA tests compile for minutes); caching them across
+# runs cuts repeat-suite time several-fold on this single-core image.
+_cache_dir = os.environ.get("MONOSOWA_TEST_JAX_CACHE",
+                            "/tmp/monosowa_jax_test_cache")
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_enable_xla_caches",
+                      "all")
+except Exception:
+    pass

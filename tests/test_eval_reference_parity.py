@@ -160,6 +160,30 @@ def test_ap_matches_reference(annos, ref_results):
                     err_msg=f"AP11 {cls_name}/{metric_name}/{set_name}")
 
 
+def test_distance_stratified_ap_matches_reference(annos):
+    """Distance-band difficulties (clean_data_by_distance, DIForDIS=False)."""
+    ref = load_reference_eval()
+    gt, dt = annos
+    min_overlaps = np.stack([OVERLAP_07, OVERLAP_05])
+    (bbox11, bev11, d311, _, bbox40, bev40, d340, _) = ref.do_eval(
+        gt, dt, [0, 1, 2], min_overlaps, compute_aos=False, DIForDIS=False)
+    mine = my_eval.get_distance_eval_result(gt, dt, current_classes=(0, 1, 2))
+    ref40 = {"bbox": bbox40, "bev": bev40, "3d": d340}
+    ref11 = {"bbox": bbox11, "bev": bev11, "3d": d311}
+    for j, cls_name in enumerate(("car", "pedestrian", "cyclist")):
+        for i, set_name in enumerate(("strict", "loose")):
+            for metric_name in ("bbox", "bev", "3d"):
+                r = mine[f"{cls_name}_{metric_name}_{set_name}"]
+                np.testing.assert_allclose(
+                    r["ap40"], ref40[metric_name][j, :, i],
+                    rtol=0, atol=1e-6,
+                    err_msg=f"dist AP_R40 {cls_name}/{metric_name}/{set_name}")
+                np.testing.assert_allclose(
+                    r["ap11"], ref11[metric_name][j, :, i],
+                    rtol=0, atol=1e-6,
+                    err_msg=f"dist AP11 {cls_name}/{metric_name}/{set_name}")
+
+
 def test_aos_matches_reference(annos, ref_results):
     gt, dt = annos
     aos11, aos40 = ref_results[3], ref_results[7]
