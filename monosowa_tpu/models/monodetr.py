@@ -89,6 +89,7 @@ class MonoDETR(nn.Module):
     two_stage: bool = False     # encoder-proposal branch (monodetr.py:234+)
     position_embedding: str = "sine"   # "sine" | "learned" (:644-660)
     use_depth: bool = False     # 4-channel RGB-D input (backbone.py:109-111)
+    use_dab: bool = False       # DAB-DETR anchor queries (:255-259, 518-585)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, calibs: jnp.ndarray,
@@ -183,6 +184,22 @@ class MonoDETR(nn.Module):
                 tgt = jnp.concatenate([tgt, padq], 1)
                 ref = jnp.concatenate(
                     [ref, jnp.full((b, nq - k, 6), 0.5)], 1)
+        elif self.use_dab:
+            # DAB-DETR: learnable content embeddings + 6-dof anchor boxes;
+            # query_pos is re-derived per decoder layer from the CURRENT
+            # reference points (monodetr.py:188-198,
+            # depthaware_transformer.py:255-259, 568-585)
+            tgt_table = self.param("tgt_embed", nn.initializers.normal(1.0),
+                                   (self.num_queries * self.group_num,
+                                    self.d_model))
+            ref_table = self.param("refpoint_embed",
+                                   nn.initializers.normal(1.0),
+                                   (self.num_queries * self.group_num, 6))
+            tgt = jnp.broadcast_to(tgt_table[None, :nq],
+                                   (b, nq, self.d_model))
+            ref = jnp.broadcast_to(jax.nn.sigmoid(ref_table[None, :nq]),
+                                   (b, nq, 6))
+            query_pos = jnp.zeros((b, nq, self.d_model))
         else:
             query_table = self.param("query_embed",
                                      nn.initializers.normal(1.0),
@@ -242,11 +259,24 @@ class MonoDETR(nn.Module):
         heads_depth = [MLP(self.d_model, 2, 2, name=f"depth_embed{i}")
                        for i in range(self.dec_layers)]
 
+        # DAB per-layer query positions from the current anchors
+        # (decoder-level shared heads, depthaware_transformer.py:530-533)
+        if self.use_dab:
+            dab_ref_head = MLP(self.d_model, self.d_model, 2,
+                               name="dab_ref_point_head")
+            dab_query_scale = MLP(self.d_model, self.d_model, 2,
+                                  name="dab_query_scale")
+
         output = tgt
         refs_before = []      # reference entering each layer
         hs = []
         for lid in range(self.dec_layers):
             l = self.num_feature_levels
+            if self.use_dab:
+                sine = _dab_sine_embed(ref, self.d_model // 2)
+                raw_qp = dab_ref_head(sine)
+                query_pos = (raw_qp if lid == 0
+                             else dab_query_scale(output) * raw_qp)
             if ref.shape[-1] == 6:
                 ref_input = jnp.tile(ref[:, :, None, :], (1, 1, l, 1))
             else:
@@ -335,6 +365,24 @@ def _encoder_proposals(spatial_shapes) -> jnp.ndarray:
     return jnp.asarray(np.clip(prop, 0.01, 0.99))
 
 
+def _dab_sine_embed(ref6: jnp.ndarray, num_feats: int = 128,
+                    temperature: float = 10000.0) -> jnp.ndarray:
+    """(B, Q, 6) anchors in [0,1] -> (B, Q, 6*num_feats) sine embedding in
+    the reference's [y, x, l, r, t, b] channel order
+    (gen_sineembed_for_position, depthaware_transformer.py:29-65)."""
+    scale = 2 * jnp.pi
+    dim_t = temperature ** (2 * (jnp.arange(num_feats) // 2) / num_feats)
+
+    def emb(coord):
+        p = coord[..., None] * scale / dim_t
+        return jnp.stack([jnp.sin(p[..., 0::2]), jnp.cos(p[..., 1::2])],
+                         -1).reshape(coord.shape + (num_feats,))
+
+    parts = [emb(ref6[..., 1]), emb(ref6[..., 0])]
+    parts += [emb(ref6[..., i]) for i in range(2, 6)]
+    return jnp.concatenate(parts, -1)
+
+
 def _proposal_pos_embed(pos4: jnp.ndarray, num_feats: int = 128,
                         temperature: float = 10000.0) -> jnp.ndarray:
     """Sine embedding of 4-dof proposals -> (..., 4 * num_feats)
@@ -398,4 +446,5 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         two_stage=bool(cfg.get("two_stage", False)),
         position_embedding=cfg.get("position_embedding", "sine"),
         use_depth=bool(cfg.get("use_depth", False)),
+        use_dab=bool(cfg.get("use_dab", False)),
     )

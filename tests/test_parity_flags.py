@@ -58,6 +58,41 @@ def test_model_learned_pos_embedding_runs():
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
 
 
+def test_model_use_dab_runs():
+    """DAB anchor queries: 6-dof refpoint embeddings + per-layer query_pos
+    derived from the current anchors (depthaware_transformer.py:255-259,
+    568-585)."""
+    from monosowa_tpu.models.monodetr import MonoDETR, _dab_sine_embed
+    model = MonoDETR(enc_layers=1, dec_layers=2, group_num=2, d_model=64,
+                     d_ffn=64, nheads=4, num_queries=10, num_depth_bins=16,
+                     use_dab=True)
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.normal(size=(1, 96, 160, 3)).astype(np.float32))
+    calib = jnp.asarray(np.array([[[250.0, 0, 80, 0], [0, 250.0, 48, 0],
+                                   [0, 0, 1, 0]]], np.float32))
+    sz = jnp.asarray([[160.0, 96.0]])
+    variables = model.init(jax.random.PRNGKey(0), img, calib, sz,
+                           training=False)
+    p = variables["params"]
+    assert "tgt_embed" in p and "refpoint_embed" in p
+    assert p["refpoint_embed"].shape == (20, 6)
+    assert "dab_ref_point_head" in p and "dab_query_scale" in p
+    for training in (False, True):
+        out = model.apply(variables, img, calib, sz, training=training,
+                          rngs={"dropout": jax.random.PRNGKey(1)})
+        assert np.isfinite(np.asarray(out["pred_logits"])).all()
+        assert out["pred_boxes"].shape[-1] == 6
+
+    # sine embed matches the reference formula on coordinate 0 (=y channel)
+    ref6 = jnp.asarray(rng.uniform(0, 1, (1, 3, 6)).astype(np.float32))
+    emb = np.asarray(_dab_sine_embed(ref6, 8))
+    assert emb.shape == (1, 3, 48)
+    dim_t = 10000.0 ** (2 * (np.arange(8) // 2) / 8)
+    y = np.asarray(ref6[0, 0, 1]) * 2 * np.pi / dim_t
+    want = np.stack([np.sin(y[0::2]), np.cos(y[1::2])], -1).reshape(-1)
+    np.testing.assert_allclose(emb[0, 0, :8], want, rtol=1e-5, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # 4-channel depth input
 # ---------------------------------------------------------------------------
