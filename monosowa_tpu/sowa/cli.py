@@ -65,7 +65,12 @@ def pipeline_config_from(cfg: Config) -> PipelineConfig:
             n_dx=int(opt.get("opt_param1_iters", 40)),
             n_dz=int(opt.get("opt_param2_iters", 40)),
             n_theta=int(opt.get("opt_param3_iters", 40)),
+            # fine theta pass: hardcoded 360 in the reference
+            # (optimizer.py:103); exposed here for small-grid test runs
+            n_theta_fine=int(opt.get("opt_fine_iters", 360)),
             radius=float(lf.get("binary_loss_threshold", 0.2))),
+        max_cars=int(opt.get("max_cars_per_frame", 32)),
+        max_points=int(filt.get("max_points_per_car", 2048)),
         skip_non_visible=bool(opt.get("skip_non_visible_cars", True)),
     )
 

@@ -385,7 +385,7 @@ class PseudoLabeler:
         if all_tracks:
             # bucket the batch size so repeated label_frames calls reuse the
             # compiled fit instead of recompiling per distinct car count
-            bucket = -(-len(all_tracks) // 32) * 32
+            bucket = -(-len(all_tracks) // 8) * 8
             big = aggregation.build_car_batch(
                 all_tracks, all_points, prepared[0]["window"],
                 max_cars=bucket, max_points=cfg.max_points,

@@ -70,8 +70,15 @@ def dataset(tmp_path_factory):
         "frames_creation": {"nscans_before": 0, "nscans_after": 0,
                             "nscans_transformation_range": 2,
                             "dist_treshold_tracking": 10.0},
-        "filtering": {"lidar_threshold_during_optim": 500},
-        "optimization": {"nms_threshold": 0.1},
+        "filtering": {"lidar_threshold_during_optim": 500,
+                      "max_points_per_car": 512},
+        # reduced grid/caps: full 40x40x40 (+360 fine) at 32x2048 cars on
+        # XLA-CPU costs minutes per run and the CLI wiring under test is
+        # size independent
+        "optimization": {"nms_threshold": 0.1,
+                         "opt_param1_iters": 14, "opt_param2_iters": 14,
+                         "opt_param3_iters": 16, "opt_fine_iters": 48,
+                         "max_cars_per_frame": 4},
     }
     cfg_path = root / "config.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))

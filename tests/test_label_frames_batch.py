@@ -12,9 +12,13 @@ from tests.test_pipeline_e2e import H, P2, TRUE_POSE, W, _make_scene
 
 @pytest.fixture(scope="module")
 def labeler():
+    # reduced grid (see test_label_frames_window.py) — batched-vs-per-frame
+    # parity is grid-independent
     cfg = pipeline.PipelineConfig(
         nscans_before=3, nscans_after=3, max_cars=4, max_points=1024,
-        min_standing_points=400, fit=FitConfig(fine_chunk=12))
+        min_standing_points=400,
+        fit=FitConfig(n_dx=20, n_dz=20, n_theta=24, n_theta_fine=180,
+                      fine_chunk=12))
     return pipeline.PseudoLabeler(cfg)
 
 

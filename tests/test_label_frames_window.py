@@ -53,9 +53,13 @@ def _make_moving_scene(window, seed=0):
 
 @pytest.fixture(scope="module")
 def labeler():
+    # reduced grid: behavior under test (window bases) is grid-independent
+    # and the full 40x40x40+360 fit costs ~2 min per run on XLA-CPU
     cfg = pipeline.PipelineConfig(
         nscans_before=3, nscans_after=3, max_cars=4, max_points=1024,
-        min_standing_points=400, fit=FitConfig(fine_chunk=12))
+        min_standing_points=400,
+        fit=FitConfig(n_dx=20, n_dz=20, n_theta=24, n_theta_fine=180,
+                      fine_chunk=12))
     return pipeline.PseudoLabeler(cfg)
 
 
