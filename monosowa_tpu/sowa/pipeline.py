@@ -136,8 +136,14 @@ class PseudoLabeler:
                 filtered.append(p[keep_m])
             points = filtered
 
-        batch = aggregation.build_car_batch(
+        # the padded device batch is only needed for an actual fit or the
+        # optional per-car refinement; skip its host->device transfers when
+        # everything is precomputed (the label_frames batched path)
+        need_batch = (precomputed is None or cfg.use_scale_detector
+                      or cfg.use_dimensions_estimation)
+        batch = (aggregation.build_car_batch(
             kept, points, window_frames, cfg.max_cars, cfg.max_points)
+            if need_batch else None)
         n = min(len(kept), cfg.max_cars)
         l, w, h = cfg.template_dims_lwh
         if precomputed is not None:
@@ -313,24 +319,44 @@ class PseudoLabeler:
             for j in todo:
                 for k, fid in enumerate(j["frame_ids"]):
                     tasks.setdefault(fid, (j, k))
-
-            def extract_one(fid):
-                j, k = tasks[fid]
-                pts = j["get_points"](k)
-                masks_k = j["get_masks"](k)
-                if pts is None or masks_k is None or len(masks_k) == 0:
-                    return fid, None
-                return fid, candidates.extract_candidates_cam(
-                    pts, j["p2"], j["img_hw"], masks_k, cfg.candidate)
-
             fids = list(tasks)
-            if len(fids) > 1:
-                with ThreadPoolExecutor(max_workers=min(8, len(fids))) as p:
-                    for fid, c in p.map(extract_one, fids):
-                        cam_cache[fid] = c
-            else:
+
+            # device path: jobs supply per-frame depth maps -> the whole
+            # extraction (erosion, membership, medians, filters) runs as
+            # batched TPU calls (sowa/candidates_device.py)
+            if all("get_depth" in j for j in todo):
+                from monosowa_tpu.sowa.candidates_device import \
+                    DeviceExtractor
+                j0 = todo[0]
+                ext = DeviceExtractor(np.asarray(j0["p2"], np.float32),
+                                      tuple(j0["img_hw"]), cfg.candidate,
+                                      max_masks=cfg.max_cars)
+                depths, masks_pf = [], []
                 for fid in fids:
-                    cam_cache[fid] = extract_one(fid)[1]
+                    j, k = tasks[fid]
+                    depths.append(j["get_depth"](k))
+                    mk = j["get_masks"](k)
+                    masks_pf.append(list(mk) if mk else [])
+                for fid, c in zip(fids, ext.extract_frames(depths, masks_pf)):
+                    cam_cache[fid] = c
+            else:
+                def extract_one(fid):
+                    j, k = tasks[fid]
+                    pts = j["get_points"](k)
+                    masks_k = j["get_masks"](k)
+                    if pts is None or masks_k is None or len(masks_k) == 0:
+                        return fid, None
+                    return fid, candidates.extract_candidates_cam(
+                        pts, j["p2"], j["img_hw"], masks_k, cfg.candidate)
+
+                if len(fids) > 1:
+                    with ThreadPoolExecutor(
+                            max_workers=min(8, len(fids))) as p:
+                        for fid, c in p.map(extract_one, fids):
+                            cam_cache[fid] = c
+                else:
+                    for fid in fids:
+                        cam_cache[fid] = extract_one(fid)[1]
 
         def prep(job):
             window_frames = job["window_frames"]

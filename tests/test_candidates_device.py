@@ -1,0 +1,99 @@
+"""Device candidate extraction vs the host (reference-exact) path.
+
+The device extractor consumes depth maps + bit-packed masks and must agree
+with candidates.extract_candidates_cam on the identical back-projected
+cloud: same surviving masks, centers to ~1e-3 m (bisection vs np.median is
+f32-exact; circle-filter boundary points may tie), member sets ~identical.
+"""
+
+import numpy as np
+import pytest
+
+from monosowa_tpu.sowa import candidates
+from monosowa_tpu.sowa.candidates_device import DeviceExtractor
+
+H, W = 96, 160
+FU = 120.0
+P2 = np.array([[FU, 0, W / 2, 0], [0, FU, H / 2, 0], [0, 0, 1, 0]],
+              np.float32)
+
+
+def _scene(seed=0, car_boxes=((40, 20, 30, 14, 12.0), (100, 40, 40, 22, 7.0)),
+           far_box=None):
+    """Depth image: 300 m background + ground + car boxes at given depth.
+    car_boxes: (x1, y1, w, h, z)."""
+    rng = np.random.default_rng(seed)
+    depth = np.full((H, W), 300.0, np.float32)
+    ys = np.arange(H)[:, None]
+    vrel = np.maximum(ys - H / 2, 1)
+    depth = np.minimum(depth, (FU * 1.6 / vrel).astype(np.float32)
+                       * np.ones((H, W), np.float32))
+    masks = []
+    boxes = list(car_boxes) + ([far_box] if far_box else [])
+    for (x1, y1, bw, bh, z) in boxes:
+        m = np.zeros((H, W), bool)
+        m[y1:y1 + bh, x1:x1 + bw] = True
+        depth[m] = z + rng.normal(scale=0.01, size=int(m.sum())) \
+            .astype(np.float32)
+        masks.append(m)
+    return depth, masks
+
+
+def _backproject(depth):
+    ys, xs = np.mgrid[0:H, 0:W]
+    z = depth
+    x = (xs - W / 2) * z / FU
+    y = (ys - H / 2) * z / FU
+    return np.stack([x, y, z], -1).reshape(-1, 3).astype(np.float32)
+
+
+def _host(depth, masks, cfg):
+    return candidates.extract_candidates_cam(
+        _backproject(depth), P2, (H, W), masks, cfg)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_device_matches_host(seed):
+    cfg = candidates.CandidateConfig(moving_detection_threshold=2,
+                                     filter_diameter=4.0)
+    depth, masks = _scene(seed)
+    host = _host(depth, masks, cfg)
+    dev = DeviceExtractor(P2, (H, W), cfg).extract_frames([depth], [masks])[0]
+
+    assert dev is not None
+    assert len(dev["points"]) == len(host["points"])
+    assert dev["locations"].shape == host["locations"].shape
+    np.testing.assert_allclose(dev["locations"], host["locations"],
+                               atol=5e-3)
+    for dp, hp in zip(dev["points"], host["points"]):
+        # identical point sets up to circle-boundary ties
+        ds = {tuple(np.round(p, 4)) for p in dp}
+        hs = {tuple(np.round(p, 4)) for p in hp}
+        inter = len(ds & hs)
+        union = len(ds | hs)
+        assert inter / union > 0.995, (len(ds), len(hs), inter)
+
+
+def test_device_far_gate_and_fallbacks():
+    cfg = candidates.CandidateConfig(moving_detection_threshold=2,
+                                     filter_diameter=4.0,
+                                     max_distance_pseudo_lidar=75.0)
+    # a car beyond 75 m must be dropped; a 3x3 mask exercises the
+    # erode-1 / raw fallbacks
+    depth, masks = _scene(2, car_boxes=((30, 30, 3, 3, 10.0),),
+                          far_box=(120, 10, 20, 10, 200.0))
+    host = _host(depth, masks, cfg)
+    dev = DeviceExtractor(P2, (H, W), cfg).extract_frames([depth], [masks])[0]
+    assert len(dev["points"]) == len(host["points"])
+    if len(host["points"]):
+        np.testing.assert_allclose(dev["locations"], host["locations"],
+                                   atol=5e-3)
+
+
+def test_device_empty_and_none_frames():
+    cfg = candidates.CandidateConfig()
+    depth, masks = _scene(3)
+    ext = DeviceExtractor(P2, (H, W), cfg)
+    out = ext.extract_frames([None, depth, depth], [[], masks, []])
+    assert out[0] is None and out[2] is None
+    assert out[1] is not None and len(out[1]["points"]) > 0

@@ -18,10 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-H, W = 375, 1242
-FU = 721.5
+H = int(os.environ.get("BENCH_H", "375"))
+W = int(os.environ.get("BENCH_W", "1242"))
+FU = 721.5 * W / 1242
 P2 = np.array([[FU, 0, W / 2, 0], [0, FU, H / 2, 0], [0, 0, 1, 0]])
-N_CARS = 6
+N_CARS = int(os.environ.get("BENCH_CARS", "6"))
 
 
 def make_sequence(n_frames=8, window=6, seed=0):
@@ -77,8 +78,9 @@ def make_sequence(n_frames=8, window=6, seed=0):
         pts += rng.normal(scale=0.01, size=pts.shape).astype(np.float32)
         t = np.eye(4)
         t[2, 3] = -ego_z          # cur -> world-ish; per-job adjusted below
-        frames.append(dict(points=pts, masks=[m for m in masks
-                                              if m is not None], ego_z=ego_z))
+        frames.append(dict(points=pts, depth=depth,
+                           masks=[m for m in masks if m is not None],
+                           ego_z=ego_z))
     return frames, window
 
 
@@ -113,6 +115,7 @@ def main():
                 window_frames=offsets,
                 frame_ids=[fi - window + k for k in range(len(offsets))],
                 get_points=(lambda k, fi=fi: frames[fi - window + k]["points"]),
+                get_depth=(lambda k, fi=fi: frames[fi - window + k]["depth"]),
                 get_masks=(lambda k, fi=fi: frames[fi - window + k]["masks"]),
                 transforms=np.stack(transforms), p2=P2, img_hw=(H, W)))
         return out
