@@ -27,7 +27,8 @@ _cache_dir = os.environ.get("MONOSOWA_TEST_JAX_CACHE",
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    jax.config.update("jax_persistent_cache_enable_xla_caches",
-                      "all")
+    # NOTE: do not enable jax_persistent_cache_enable_xla_caches="all" —
+    # shared XLA:CPU AOT kernel entries abort (SIGABRT) when the recorded
+    # machine features disagree with the loading process
 except Exception:
     pass
