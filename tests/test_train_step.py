@@ -6,7 +6,11 @@ import jax
 import pytest
 
 
-def test_dryrun_multichip_8():
+def test_dryrun_multichip_8(monkeypatch):
+    # run the child path IN-PROCESS: pytest already forces the 8-device
+    # virtual CPU mesh (conftest) and holds the warm compile cache; the
+    # driver exercises the subprocess-spawning wrapper separately
+    monkeypatch.setenv("_MONOSOWA_DRYRUN_CHILD", "1")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 
