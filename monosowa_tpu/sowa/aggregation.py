@@ -51,24 +51,39 @@ def choose_ref_mask(track: Track):
 def aggregate_standing_clever(track: Track,
                               transforms: np.ndarray,
                               window: Sequence[int],
-                              keep_k: int = 10) -> Optional[np.ndarray]:
+                              keep_k: int = 10,
+                              inv_transforms: Optional[np.ndarray] = None,
+                              trunc_cache: Optional[dict] = None
+                              ) -> Optional[np.ndarray]:
     """Concatenate ref-frame points of the k closest untruncated frames.
 
     transforms: (W, 4, 4) per-window-frame ``T_cur_to_ref`` (camera coords);
     the per-frame ego distance of the car is computed by mapping its
     ref-frame location back through inv(T) (loader.py:786-800).
+    ``inv_transforms``/``trunc_cache`` let callers share the batched
+    inverses and per-mask truncation flags across a frame's tracks.
     """
     base = window[0]
+    if inv_transforms is None:
+        inv_transforms = np.linalg.inv(transforms)
     dists = []
     pts_list = []
     for f, loc, pts, mask in zip(track.frames, track.locations, track.points,
                                  track.masks):
         if pts is None:
             continue
-        t_inv = np.linalg.inv(transforms[f - base])
+        t_inv = inv_transforms[f - base]
         loc_local = t_inv[:3, :3] @ np.asarray(loc[:3]) + t_inv[:3, 3]
         d = float(np.hypot(loc_local[0], loc_local[2]))
-        if mask_is_truncated(mask):
+        if trunc_cache is not None and mask is not None:
+            key = id(mask)
+            t = trunc_cache.get(key)
+            if t is None:
+                t = mask_is_truncated(mask)
+                trunc_cache[key] = t
+        else:
+            t = mask_is_truncated(mask)
+        if t:
             d += 5.0
         dists.append(d)
         pts_list.append(pts)
@@ -121,11 +136,14 @@ def aggregate_tracks(tracks: Sequence[Track], transforms: np.ndarray,
     tracks = filter_moving_not_visible(tracks)
     tracks = filter_hidden_standing(tracks)
     kept, points, masks = [], [], []
+    inv_transforms = np.linalg.inv(np.asarray(transforms))
+    trunc_cache: dict = {}
     for t in tracks:
         if t.moving:
             pts = moving_keep_ref(t)
         else:
-            pts = aggregate_standing_clever(t, transforms, window, keep_k)
+            pts = aggregate_standing_clever(t, transforms, window, keep_k,
+                                            inv_transforms, trunc_cache)
             if pts is not None and pts.shape[0] < min_points:
                 pts = None
         if pts is None or pts.shape[0] == 0:
