@@ -147,7 +147,12 @@ def main(argv=None):
         evaluate(model, state, val_ds, cfg)
         return
 
-    mesh = make_mesh(("data",))
+    # data-parallel mesh over the largest device count dividing the batch
+    # (torch DataParallel scatters any batch; pjit shards need divisibility)
+    all_devices = jax.devices()
+    n_dev = max(d for d in range(1, len(all_devices) + 1)
+                if batch_size % d == 0)
+    mesh = make_mesh(("data",), devices=all_devices[:n_dev])
     state = jax.device_put(state, replicated_sharding(mesh))
     train_step = make_train_step(model,
                                  criterion_config_from_yaml(model,
