@@ -50,7 +50,9 @@ def pipeline_config_from(cfg: Config) -> PipelineConfig:
     opt = cfg.optimization or Config({})
     filt = cfg.filtering or Config({})
     lf = cfg.loss_functions or Config({})
+    tpl = cfg.templates or Config({})
     return PipelineConfig(
+        template_mesh_dir=tpl.get("mesh_dir") or None,
         nscans_before=int(fc.get("nscans_before", 30)),
         nscans_after=int(fc.get("nscans_after", 30)),
         min_standing_points=int(filt.get("lidar_threshold_during_optim", 1000)),

@@ -56,6 +56,10 @@ class PipelineConfig:
     # persist fitted cars for use_add_data detector training (the
     # reference's optimized_cars/ blobs, main_class.py:780-816)
     cars_cache_dir: Optional[str] = None
+    # directory with the 4 car CAD meshes (fiat2/passat2/suv/minivan.gltf);
+    # when set the template bank is built from them exactly like the
+    # reference (loader.py:3465-3840) instead of the procedural profiles
+    template_mesh_dir: Optional[str] = None
 
 
 class PseudoLabeler:
@@ -65,7 +69,10 @@ class PseudoLabeler:
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
                  bank: Optional[TemplateBank] = None):
         self.cfg = cfg
-        self.bank = bank or TemplateBank.default()
+        if bank is None:
+            bank = (TemplateBank.from_gltf(cfg.template_mesh_dir)
+                    if cfg.template_mesh_dir else TemplateBank.default())
+        self.bank = bank
         self.template = jnp.asarray(self.bank.points[0])
         # conv-grid kernels: the MXU fitting path (ops/tfl.py ConvGridSpec)
         self.conv_spec, self.occ_kernels, self.memb_kernels = \
