@@ -75,6 +75,23 @@ def make_car_mesh(nu: int = 24, nv: int = 12, profile_idx: int = 0
     return verts.astype(np.float32), faces
 
 
+def load_car_mesh_obj(path: str, target_dims_whl=None
+                      ) -> Tuple[np.ndarray, np.ndarray]:
+    """Load a reference deformed car mesh (data/*_deformed*.obj — the
+    meshes the reference's pytorch3d load_objs_as_meshes consumes,
+    loader.py:3541-3543): already centered in the fitting frame at
+    near-template scale.  ``target_dims_whl`` optionally rescales extents
+    to exact (w, h, l)."""
+    from monosowa_tpu.sowa.mesh_io import load_obj
+
+    v, f = load_obj(path)
+    v = v - (v.min(0) + v.max(0)) / 2.0
+    if target_dims_whl is not None:
+        v = v * (np.asarray(target_dims_whl, np.float64)
+                 / np.maximum(np.ptp(v, axis=0), 1e-9))
+    return v.astype(np.float32), f.astype(np.int32)
+
+
 def mesh_edges(faces: np.ndarray) -> np.ndarray:
     e = np.concatenate([faces[:, [0, 1]], faces[:, [1, 2]],
                         faces[:, [2, 0]]], 0)

@@ -70,6 +70,39 @@ def test_cad_bank_geometry(cad_bank):
     assert wide_ground > wide_roof
 
 
+def test_deformable_fit_with_reference_mesh():
+    """Deformable refinement driven by the reference's own deformed car
+    mesh instead of the procedural grid."""
+    import jax
+
+    from monosowa_tpu.sowa import deformable
+
+    verts, faces = deformable.load_car_mesh_obj(
+        os.path.join(REF_DATA, "fiat_deformed2.obj"),
+        target_dims_whl=(1.63, 1.526, 3.88))
+    assert np.allclose(np.ptp(verts, 0), [1.63, 1.526, 3.88], atol=1e-4)
+
+    edges = jnp.asarray(deformable.mesh_edges(faces))
+    adj = jnp.asarray(deformable.vertex_adjacency(faces, len(verts)))
+    mi = jnp.asarray(deformable.mirror_indices(verts))
+
+    rng = np.random.default_rng(0)
+    center = np.array([0.5, 1.0, 12.0], np.float32)
+    scan = verts[rng.choice(len(verts), 700)] + center
+    scan = (scan + rng.normal(scale=0.02, size=scan.shape)) \
+        .astype(np.float32)
+    res = deformable.fit_deformable_batch(
+        jnp.asarray(verts), edges, adj, mi,
+        jnp.asarray(scan[None]), jnp.ones((1, 700), bool),
+        jnp.asarray(center[None]), jnp.zeros(1, jnp.float32),
+        deformable.DeformConfig(iterations=60))
+    assert np.isfinite(float(res.loss[0]))
+    # an already-aligned scan keeps the fitted pose near the initializer
+    assert np.linalg.norm(np.asarray(res.translation[0]) - center) < 0.4
+    assert np.all(np.asarray(res.scales[0]) > 0.6)
+    assert np.all(np.asarray(res.scales[0]) < 1.25)
+
+
 def test_fit_recovers_pose_with_cad_templates(cad_bank):
     from monosowa_tpu.ops.geometry import rot_y
     from monosowa_tpu.sowa.fitting import (CarBatch, FitConfig,
