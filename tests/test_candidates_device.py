@@ -90,6 +90,55 @@ def test_device_far_gate_and_fallbacks():
                                    atol=5e-3)
 
 
+def test_label_frames_device_vs_host_paths(tmp_path):
+    """The full label_frames output must agree between the device extractor
+    (jobs with get_depth) and the host extractor (points only)."""
+    from monosowa_tpu.kittiio import read_label_file
+    from monosowa_tpu.sowa import pipeline
+    from monosowa_tpu.sowa.fitting import FitConfig
+
+    window = 2
+    n_frames = 3
+    total = n_frames + 2 * window
+    scenes = [_scene(seed=10 + k) for k in range(total)]
+    offsets = list(range(-window, window + 1))
+
+    cfg = pipeline.PipelineConfig(
+        nscans_before=window, nscans_after=window, max_cars=4,
+        max_points=1024, min_standing_points=200,
+        fit=FitConfig(n_dx=16, n_dz=16, n_theta=16, n_theta_fine=90,
+                      fine_chunk=10))
+    labeler = pipeline.PseudoLabeler(cfg)
+
+    def jobs(tag, with_depth):
+        out = []
+        for fi in range(window, window + n_frames):
+            job = dict(
+                out_path=str(tmp_path / f"{tag}_{fi:06d}.txt"),
+                window_frames=offsets,
+                frame_ids=[fi - window + k for k in range(len(offsets))],
+                get_points=(lambda k, fi=fi:
+                            _backproject(scenes[fi - window + k][0])),
+                get_masks=(lambda k, fi=fi: scenes[fi - window + k][1]),
+                transforms=np.tile(np.eye(4), (len(offsets), 1, 1)),
+                p2=P2, img_hw=(H, W))
+            if with_depth:
+                job["get_depth"] = (lambda k, fi=fi:
+                                    scenes[fi - window + k][0])
+            out.append(job)
+        return out
+
+    assert labeler.label_frames(jobs("host", False)) == n_frames
+    assert labeler.label_frames(jobs("dev", True)) == n_frames
+    for fi in range(window, window + n_frames):
+        lh = read_label_file(str(tmp_path / f"host_{fi:06d}.txt"))
+        ld = read_label_file(str(tmp_path / f"dev_{fi:06d}.txt"))
+        assert lh.names == ld.names, fi
+        if len(lh.names):
+            np.testing.assert_allclose(ld.pos, lh.pos, atol=0.05)
+            np.testing.assert_allclose(ld.ry, lh.ry, atol=0.05)
+
+
 def test_device_empty_and_none_frames():
     cfg = candidates.CandidateConfig()
     depth, masks = _scene(3)
