@@ -99,7 +99,8 @@ def main():
     print(json.dumps({
         "metric": "pseudo_label_fit_throughput",
         "value": round(cars_per_sec, 2),
-        "unit": "cars/sec (64k-pose TFL grid search per car)",
+        "unit": ("cars/sec (64k-pose TFL grid search per car; vs_baseline "
+                 "divides by an ESTIMATED 1 car/s reference CPU rate)"),
         "vs_baseline": round(cars_per_sec / baseline_cars_per_sec, 2),
     }))
 
