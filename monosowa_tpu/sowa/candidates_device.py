@@ -71,11 +71,13 @@ def _erosion_depth(masks: jnp.ndarray) -> jnp.ndarray:
         rt = jnp.pad(m[:, :, :, :-1], ((0, 0), (0, 0), (0, 0), (1, 0)),
                      mode="edge")
         nxt = m & up & dn & lf & rt
-        return (nxt, acc + nxt.astype(jnp.int32)), None
+        # int8 accumulator (depth <= K_MAX + 1 = 41): the carry's HBM
+        # traffic dominates this scan at full KITTI mask stacks
+        return (nxt, acc + nxt.astype(jnp.int8)), None
 
     (_, acc), _ = jax.lax.scan(
-        step, (masks, jnp.zeros(masks.shape, jnp.int32)), None, length=K_MAX)
-    return masks.astype(jnp.int32) + acc
+        step, (masks, jnp.zeros(masks.shape, jnp.int8)), None, length=K_MAX)
+    return (masks.astype(jnp.int8) + acc).astype(jnp.int32)
 
 
 def _masked_rank_value(vals: jnp.ndarray, member: jnp.ndarray,
