@@ -57,15 +57,18 @@ class Track:
 
 def _predict_location(track: Track) -> np.ndarray:
     """Velocity-extrapolated next location: mean of up to 4 recent deltas
-    added to the last location (loader.py:2161-2183)."""
+    added to the last location (loader.py:2161-2183).
+
+    The consecutive deltas telescope, so the mean is
+    (locs[-1] - locs[-1-K]) / K with K = min(4, n-1) — O(1) per track
+    (this runs per candidate-frame inside the tracker's hot loop)."""
     locs = track.locations
-    if len(locs) == 1:
+    n = len(locs)
+    if n == 1:
         return np.asarray(locs[0][:3], np.float64)
-    deltas = []
-    for k in range(1, min(5, len(locs))):
-        deltas.append(np.asarray(locs[-k][:3]) - np.asarray(locs[-k - 1][:3]))
-    est = np.mean(np.stack(deltas), axis=0)
-    return np.asarray(locs[-1][:3]) + est
+    k = min(4, n - 1)
+    last = np.asarray(locs[-1][:3], np.float64)
+    return last + (last - np.asarray(locs[-1 - k][:3], np.float64)) / k
 
 
 def greedy_track(candidates: Sequence[Optional[dict]],
