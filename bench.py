@@ -1,35 +1,54 @@
-"""Headline benchmark: pseudo-label template-fitting throughput on TPU.
+"""Headline benchmarks (three metrics, one JSON line each).
 
-Measures the hot path of the auto-labeller (SURVEY.md §3.1): the full
-reference-size grid search per car — 40x40x40 coarse poses (binary two-way
-TFL via membership fields) + 360-step exact fine theta pass — batched over
-a frame's worth of cars, on real TPU hardware.
+1. pseudo_label_fit_throughput — the hot path of the auto-labeller
+   (SURVEY.md §3.1): the full reference-size grid search per car —
+   40x40x40 coarse poses (binary two-way TFL via membership fields) +
+   360-step exact fine theta pass — batched over a frame's worth of cars.
+   Baseline: the reference evaluates the same 64,360 poses per car through
+   per-pose faiss IVF range_search on CPU (loss.py:70-75,
+   optimizer.py:53-112); its per-frame timing prints (main_class.py:304-413)
+   put optimization at roughly 1 s per car on the paper's hardware
+   (ESTIMATE).
 
-Baseline: the reference evaluates the same 64,360 poses per car through
-per-pose faiss IVF range_search on CPU (loss.py:70-75, optimizer.py:53-112);
-its per-frame timing prints (main_class.py:304-413) put optimization at
-roughly 1 s per car on the paper's hardware.  vs_baseline is measured
-cars/sec relative to that 1 car/s reference rate.
+2. pseudo_label_e2e_throughput — PseudoLabeler.label_frames end-to-end on
+   full-resolution synthetic KITTI frames (375x1242, ~460k-point dense
+   pseudo-LiDAR, 6 cars, 13-frame windows): candidates -> tracking ->
+   moving/standing -> aggregation -> fit -> NMS -> writer.  Baseline: the
+   reference's per-frame python loop at the same stages is ~0.15 frames/s
+   (ESTIMATE: ~6 cars x ~1 s/car optimization + 61-neighbour candidate
+   extraction per frame, main_class.py:152-270).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+3. train_step_throughput — full MonoDETR train step (fwd+bwd+optimizer,
+   Hungarian matching, DDN loss) at the reference training shape
+   B=8, 384x1280.  Baseline: the reference's shipped single-GPU run logs
+   ~60 min/epoch incl. per-epoch val on 3712 images => ~1.0 img/s
+   (train.log timestamps, BASELINE.md).
+
+Select a subset with BENCH_ONLY=fit|e2e|train.
 """
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
 
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(HERE, "tools"))
 
-def main():
+
+def _emit(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(value, 2),
+        "unit": unit,
+        "vs_baseline": round(value / baseline, 2),
+    }), flush=True)
+
+
+def bench_fit():
     import jax
-
-    # persistent compile cache: end-of-round driver runs (and retries) skip
-    # the multi-minute remote compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
     import jax.numpy as jnp
 
     from monosowa_tpu.ops.geometry import rot_y
@@ -37,7 +56,6 @@ def main():
                                            fit_cars_conv, make_conv_kernels)
     from monosowa_tpu.sowa.templates import TemplateBank
 
-    import os
     n_cars = int(os.environ.get("BENCH_N_CARS", "32"))
     n_pts = 2048
     rng = np.random.default_rng(0)
@@ -74,15 +92,13 @@ def main():
     iters = 5
     batches = [make_batch(100 + i) for i in range(iters + 1)]
 
-    import sys
-
     # compile + warmup.  Timing pulls a value to host (device_get): on the
     # remote-execution tunnel, block_until_ready alone can return at enqueue
     # time and fake sub-ms iterations.
     t0 = time.perf_counter()
     res = fit_cars_conv(batches[-1], template, occ_k, memb_k, spec, cfg)
     _ = float(np.asarray(res.theta).sum())
-    print(f"# compile+warmup: {time.perf_counter() - t0:.1f}s",
+    print(f"# fit compile+warmup: {time.perf_counter() - t0:.1f}s",
           file=sys.stderr)
 
     times = []
@@ -91,18 +107,84 @@ def main():
         res = fit_cars_conv(batches[i], template, occ_k, memb_k, spec, cfg)
         _ = float(np.asarray(res.theta).sum())
         times.append(time.perf_counter() - t0)
-        print(f"# iter {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)
+        print(f"# fit iter {i}: {times[-1]:.3f}s", file=sys.stderr, flush=True)
     dt = float(np.median(times))
 
-    cars_per_sec = n_cars / max(dt, 1e-9)
-    baseline_cars_per_sec = 1.0  # reference: ~1 car/s single CPU process
-    print(json.dumps({
-        "metric": "pseudo_label_fit_throughput",
-        "value": round(cars_per_sec, 2),
-        "unit": ("cars/sec (64k-pose TFL grid search per car; vs_baseline "
-                 "divides by an ESTIMATED 1 car/s reference CPU rate)"),
-        "vs_baseline": round(cars_per_sec / baseline_cars_per_sec, 2),
-    }))
+    _emit("pseudo_label_fit_throughput", n_cars / max(dt, 1e-9),
+          ("cars/sec (64k-pose TFL grid search per car; vs_baseline divides "
+           "by an ESTIMATED 1 car/s reference CPU rate)"), 1.0)
+
+
+def bench_e2e():
+    import bench_pipeline
+
+    n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "6"))
+    fps = bench_pipeline.run(n_frames=n_frames, quiet=False)
+    _emit("pseudo_label_e2e_throughput", fps,
+          ("frames/sec end-to-end at full KITTI sizes (375x1242, ~460k-pt "
+           "pseudo-LiDAR, 6 cars, 13-frame windows; vs_baseline divides by "
+           "an ESTIMATED 0.15 frames/s reference per-frame python loop)"),
+          0.15)
+
+
+def bench_train():
+    import jax
+
+    import __graft_entry__ as ge
+    from monosowa_tpu.models.monodetr import MonoDETR
+    from monosowa_tpu.train.optim import make_optimizer
+    from monosowa_tpu.train.trainer import init_state, make_train_step
+
+    batch_size, iters = 8, 4
+    model = MonoDETR()
+    batch = ge._sample_batch(batch_size, 384, 1280)
+    tx = make_optimizer(base_lr=2e-4, steps_per_epoch=100)
+    state = init_state(model, tx, {k: np.asarray(v) for k, v in batch.items()})
+    step = make_train_step(model)
+
+    rng = jax.random.PRNGKey(0)
+    t0 = time.perf_counter()
+    state, losses = step(state, batch, rng)
+    total = float(losses["loss_total"])     # host pull = trustworthy sync
+    print(f"# train compile+first step: {time.perf_counter() - t0:.1f}s "
+          f"(loss {total:.3f})", file=sys.stderr)
+
+    times = []
+    for i in range(iters):
+        t0 = time.perf_counter()
+        state, losses = step(state, batch, rng)
+        float(losses["loss_total"])
+        times.append(time.perf_counter() - t0)
+        print(f"# train iter {i}: {times[-1]:.3f}s", file=sys.stderr,
+              flush=True)
+    dt = float(np.median(times))
+
+    _emit("train_step_throughput", batch_size / dt,
+          ("imgs/sec full MonoDETR train step at B=8 384x1280 single chip "
+           "(vs_baseline divides by ~1.0 img/s from the reference's shipped "
+           "single-GPU train.log, 60 min/epoch incl. val)"), 1.0)
+
+
+def main():
+    import jax
+
+    # persistent compile cache: end-of-round driver runs (and retries) skip
+    # the multi-minute remote compile
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+    only = os.environ.get("BENCH_ONLY", "")
+    suite = {"fit": bench_fit, "e2e": bench_e2e, "train": bench_train}
+    for name, fn in suite.items():
+        if only and name != only:
+            continue
+        try:
+            fn()
+        except Exception as e:  # one failing metric must not kill the rest
+            print(f"# bench {name} FAILED: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -23,12 +23,13 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None:
         return _LIB
     so = os.path.join(_NATIVE_DIR, "libeval_kernels.so")
-    if not os.path.exists(so):
-        try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                           capture_output=True)
-        except Exception:
-            return None
+    # Always invoke make (a no-op when the .so is newer than the .cpp) so a
+    # stale binary can never silently shadow an edited eval_kernels.cpp.
+    try:
+        subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                       capture_output=True)
+    except Exception:
+        pass
     if not os.path.exists(so):
         return None
     lib = ctypes.CDLL(so)

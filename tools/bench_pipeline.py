@@ -84,10 +84,9 @@ def make_sequence(n_frames=8, window=6, seed=0):
     return frames, window
 
 
-def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    do_profile = "--profile" in sys.argv
-
+def run(n_frames=8, do_profile=False, quiet=False):
+    """Times label_frames over ``n_frames`` full-size frames; returns
+    steady-state frames/s (after a same-shape compile warmup)."""
     from monosowa_tpu.sowa import pipeline
     from monosowa_tpu.sowa.fitting import FitConfig
 
@@ -123,8 +122,9 @@ def main():
     # warmup (compiles) at the same job count -> same bucketed shapes
     t0 = time.perf_counter()
     labeler.label_frames(jobs("warm"))
-    print(f"# warmup ({n_frames} frames, compiles): "
-          f"{time.perf_counter() - t0:.1f}s")
+    if not quiet:
+        print(f"# warmup ({n_frames} frames, compiles): "
+              f"{time.perf_counter() - t0:.1f}s")
 
     if do_profile:
         pr = cProfile.Profile()
@@ -135,7 +135,14 @@ def main():
     if do_profile:
         pr.disable()
         pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
-    print(f"label_frames: {n} frames in {dt:.2f}s = {n / dt:.2f} frames/s")
+    if not quiet:
+        print(f"label_frames: {n} frames in {dt:.2f}s = {n / dt:.2f} frames/s")
+    return n / dt
+
+
+def main():
+    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    run(n_frames, do_profile="--profile" in sys.argv)
 
 
 if __name__ == "__main__":
