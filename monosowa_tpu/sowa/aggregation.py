@@ -32,12 +32,16 @@ from monosowa_tpu.sowa.lomm import Track
 MAX_POINTS_PER_CAR = 10000
 
 
-def mask_is_truncated(mask: Optional[np.ndarray], rows: int = 10) -> bool:
-    """True if the 2D mask touches the top or bottom image border
-    (loader.py:794)."""
+def mask_is_truncated(mask: Optional[np.ndarray], cols: int = 10) -> bool:
+    """True if the 2D mask touches the LEFT or RIGHT image border.
+
+    The reference checks ``cur_mask[:10, :] | cur_mask[-10:, :]``
+    (loader.py:794) on its TRANSPOSED (W, H) mask layout — i.e. the first/
+    last 10 pixel COLUMNS of the image; on this package's (H, W) masks that
+    is ``mask[:, :10] | mask[:, -10:]``."""
     if mask is None:
         return False
-    return bool(np.any(mask[:rows, :]) or np.any(mask[-rows:, :]))
+    return bool(np.any(mask[:, :cols]) or np.any(mask[:, -cols:]))
 
 
 def choose_ref_mask(track: Track):
@@ -115,6 +119,45 @@ def filter_hidden_standing(tracks: Sequence[Track]) -> List[Track]:
     return [t for t in tracks if choose_ref_mask(t) is not None or t.moving]
 
 
+def hidden_standing_keep_real(points: np.ndarray,
+                              ref_scan: Optional[np.ndarray],
+                              radius: float = 0.1,
+                              strict: bool = False,
+                              chunk: int = 2048) -> bool:
+    """Real-LiDAR hidden-standing check for ONE car's aggregated points
+    against the reference frame's live scan (loader.py:860-873).
+
+    The reference builds a faiss range query with radius 0.1 m and keeps
+    the car ``if len(idx) > 0`` — but ``idx`` is faiss's ``lims`` prefix
+    array, whose length is ALWAYS nq+1, so the shipped filter keeps every
+    standing car.  Default replicates that quirk (keep); ``strict=True``
+    applies the evidently intended semantics: keep iff any aggregated
+    point lies within ``radius`` of a live scan point (brute-force
+    chunked distances — faiss-free).
+    """
+    if not strict:
+        return True
+    if ref_scan is None or ref_scan.shape[0] == 0 or points.shape[0] == 0:
+        return False
+    scan = np.asarray(ref_scan[:, :3], np.float32)
+    r2 = radius * radius
+    for c0 in range(0, points.shape[0], chunk):
+        p = points[c0:c0 + chunk, :3]
+        d2 = ((p ** 2).sum(1)[:, None] + (scan ** 2).sum(1)[None, :]
+              - 2.0 * (p @ scan.T))
+        if (d2 < r2).any():
+            return True
+    return False
+
+
+def filter_distant(points: np.ndarray, max_distance: float = 75.0) -> bool:
+    """Pseudo-lidar distant-car filter: keep iff the aggregated cloud's
+    median is within ``max_distance`` of the camera
+    (loader.py:3944-3954 filter_distant_cars_pseudo_lidar)."""
+    loc = np.median(points[:, :3], axis=0)
+    return bool(np.linalg.norm(loc) < max_distance)
+
+
 def cap_points(pts: np.ndarray, cap: int = MAX_POINTS_PER_CAR,
                seed: int = 12345) -> np.ndarray:
     if pts.shape[0] <= cap:
@@ -126,27 +169,50 @@ def cap_points(pts: np.ndarray, cap: int = MAX_POINTS_PER_CAR,
 
 def aggregate_tracks(tracks: Sequence[Track], transforms: np.ndarray,
                      window: Sequence[int], keep_k: int = 10,
-                     min_points: int = 1000):
+                     min_points: int = 1000,
+                     use_pseudo_lidar: bool = True,
+                     max_distance: float = 75.0,
+                     ref_scan: Optional[np.ndarray] = None,
+                     strict_hidden: bool = False):
     """Full post-classification aggregation: returns (kept_tracks,
     per-track aggregated points, per-track ref masks).
 
     ``min_points`` mirrors lidar_threshold_during_optim (standing cars with
     fewer aggregated points are dropped — filtering.py:21-22).
+
+    ``use_pseudo_lidar=False`` (real velodyne scans): the hidden-standing
+    filter switches from the mask branch to the live-scan range query
+    (``ref_scan`` = the reference frame's cam-frame scan; see
+    hidden_standing_keep_real for the reference's len(lims) quirk and
+    ``strict_hidden``), and the 75 m distant-car filter is skipped
+    (loader.py:185-186 gates it on use_pseudo_lidar).
     """
     tracks = filter_moving_not_visible(tracks)
-    tracks = filter_hidden_standing(tracks)
+    if use_pseudo_lidar:
+        tracks = filter_hidden_standing(tracks)
     kept, points, masks = [], [], []
     inv_transforms = np.linalg.inv(np.asarray(transforms))
     trunc_cache: dict = {}
     for t in tracks:
         if t.moving:
+            # moving cars seen < 3 times are never optimized/written
+            # (filtering.py est_location_and_downsample:62-65)
+            if len(t.frames) < 3:
+                continue
             pts = moving_keep_ref(t)
         else:
             pts = aggregate_standing_clever(t, transforms, window, keep_k,
                                             inv_transforms, trunc_cache)
             if pts is not None and pts.shape[0] < min_points:
                 pts = None
+            if (pts is not None and not use_pseudo_lidar
+                    and not hidden_standing_keep_real(
+                        pts, ref_scan, strict=strict_hidden)):
+                pts = None
         if pts is None or pts.shape[0] == 0:
+            continue
+        if use_pseudo_lidar and not filter_distant(
+                np.asarray(pts), max_distance):
             continue
         kept.append(t)
         points.append(cap_points(np.asarray(pts, np.float32)))

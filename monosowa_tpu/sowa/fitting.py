@@ -45,6 +45,12 @@ class FitConfig:
     radius: float = 0.2          # binary_loss_threshold
     moving_dz_shift: float = 1.0  # optimize_moving shifts the z range by +1
     fine_chunk: int = 24          # theta chunking for the exact fine pass
+    # the conv-grid coarse loss is a field-quantized approximation; re-score
+    # the top-K candidate translations with the EXACT binary loss over the
+    # coarse theta set before the fine pass (0 disables).  Aligns the
+    # selected cell with the reference's exact-loss grid argmin
+    # (optimizer.py:53-93) at negligible cost vs the fine pass.
+    exact_topk: int = 8
 
 
 class FitResult(NamedTuple):
@@ -281,6 +287,48 @@ def make_conv_kernels(template: np.ndarray, cfg: FitConfig = FitConfig()):
     return spec, jnp.asarray(occ), jnp.asarray(memb)
 
 
+def _coarse_thetas(nt: int) -> jnp.ndarray:
+    return jnp.asarray(np.linspace(0.0, 2 * np.pi - 2 * np.pi / nt, nt,
+                                   dtype=np.float32))
+
+
+def _exact_rescore_translations(scan_local, scan_mask, template, losses,
+                                trans, thetas, cfg: FitConfig, pitch,
+                                fixed_theta=None):
+    """Pick the best translation by EXACT binary loss among the conv grid's
+    top-K candidates (per-translation min over theta rows), then refine at
+    half-pitch around the winner — the conv lattice is voxel-aligned, so
+    sub-cell refinement recovers the accuracy of the reference's
+    continuous linspace grid (optimizer.py:71-75) and better.
+
+    ``fixed_theta``: when set (moving cars with a trajectory angle), exact
+    losses are evaluated at that single theta instead of the coarse set.
+    Returns (t_best (3,), theta_losses_at_best (n_theta,))."""
+    per_trans = jnp.min(losses, axis=0)                 # (G,)
+    k = min(cfg.exact_topk, per_trans.shape[0])
+    _, cand = jax.lax.top_k(-per_trans, k)
+    cand_trans = trans[cand]                            # (K, 3)
+    th = (jnp.broadcast_to(fixed_theta, thetas.shape)
+          if fixed_theta is not None else thetas)
+
+    def eval_tr(t):
+        return exact_theta_losses(scan_local, scan_mask, template,
+                                  t, th, cfg.radius, cfg.fine_chunk)
+
+    cand_losses = jax.lax.map(eval_tr, cand_trans)      # (K, nt)
+    t0 = cand_trans[jnp.argmin(jnp.min(cand_losses, axis=1))]
+
+    px, pz = pitch
+    offs = np.array([-1.0, -0.5, 0.0, 0.5, 1.0], np.float32)
+    gx, gz = np.meshgrid(offs * px, offs * pz, indexing="ij")
+    ref_offs = jnp.asarray(np.stack(
+        [gx.reshape(-1), np.zeros(gx.size, np.float32), gz.reshape(-1)], -1))
+    ref_trans = t0 + ref_offs                           # (25, 3)
+    ref_losses = jax.lax.map(eval_tr, ref_trans)        # (25, nt)
+    ri = jnp.argmin(jnp.min(ref_losses, axis=1))
+    return ref_trans[ri], ref_losses[ri]
+
+
 @partial(jax.jit, static_argnames=("cfg", "spec"))
 def fit_standing_car_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
                           template: jnp.ndarray, occ_k: jnp.ndarray,
@@ -290,10 +338,16 @@ def fit_standing_car_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
     trans = jnp.asarray(tfl.conv_translations(spec))
     losses = tfl.grid_pose_losses_conv(scan_local, scan_mask, occ_k, memb_k,
                                        spec, template.shape[0])
-    flat = losses.reshape(-1)
-    best = jnp.argmin(flat)
-    bi_trans = best % trans.shape[0]
-    t_best = trans[bi_trans]
+    if cfg.exact_topk > 0:
+        pitch = ((spec.dx_max - spec.dx_min) / (spec.n_dx - 1),
+                 (spec.dz_max - spec.dz_min) / (spec.n_dz - 1))
+        t_best, _ = _exact_rescore_translations(
+            scan_local, scan_mask, template, losses, trans,
+            _coarse_thetas(losses.shape[0]), cfg, pitch)
+    else:
+        flat = losses.reshape(-1)
+        best = jnp.argmin(flat)
+        t_best = trans[best % trans.shape[0]]
 
     fine = exact_theta_losses(scan_local, scan_mask, template, t_best,
                               _fine_thetas(cfg), cfg.radius, cfg.fine_chunk)
@@ -321,11 +375,28 @@ def fit_moving_car_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
     row = jnp.round(theta_est / (2 * jnp.pi / nt)).astype(jnp.int32) % nt
     row_mask = (jnp.arange(nt) == row) | ~theta_valid
     masked = jnp.where(row_mask[:, None], losses, jnp.inf)
+    thetas_grid = _coarse_thetas(nt)
+    if cfg.exact_topk > 0:
+        # exact re-score + half-pitch refinement of the conv grid's top-K
+        # translations: at the trajectory theta when available, over the
+        # coarse theta set otherwise (same policy as the standing path)
+        th_set = jnp.where(theta_valid,
+                           jnp.broadcast_to(theta_est, thetas_grid.shape),
+                           thetas_grid)
+        pitch = ((spec.dx_max - spec.dx_min) / (spec.n_dx - 1),
+                 (spec.dz_max - spec.dz_min) / (spec.n_dz - 1))
+        t_best, best_losses = _exact_rescore_translations(
+            shifted, scan_mask, template, masked, trans, th_set, cfg,
+            pitch, fixed_theta=None)
+        ti = jnp.argmin(best_losses)
+        theta = jnp.where(theta_valid, theta_est, th_set[ti])
+        return FitResult(x=t_best[0], y=jnp.float32(0.0),
+                         z=t_best[2] + cfg.moving_dz_shift,
+                         theta=theta, loss=jnp.min(best_losses))
     flat = masked.reshape(-1)
     best = jnp.argmin(flat)
     bi_theta = best // trans.shape[0]
     bi_trans = best % trans.shape[0]
-    thetas_grid = jnp.linspace(0.0, 2 * jnp.pi - 2 * jnp.pi / nt, nt)
     theta = jnp.where(theta_valid, theta_est, thetas_grid[bi_theta])
     return FitResult(x=trans[bi_trans, 0], y=jnp.float32(0.0),
                      z=trans[bi_trans, 2] + cfg.moving_dz_shift,

@@ -47,6 +47,14 @@ class PipelineConfig:
         default_factory=candidates.CandidateConfig)
     template_dims_lwh: tuple = (3.88, 1.63, 1.526)
     skip_non_visible: bool = True
+    # real-LiDAR branch (frames_creation.use_pseudo_lidar: False): points
+    # come from velodyne scans (kittiio.velodyne), the 75 m pseudo-lidar
+    # gates are off, and hidden standing cars are filtered against the
+    # live reference scan (aggregation.hidden_standing_keep_real; the
+    # reference's shipped filter is a no-op — strict_hidden_standing=True
+    # enables the evidently intended range check)
+    use_pseudo_lidar: bool = True
+    strict_hidden_standing: bool = False
     # optional stages (reference flags in parentheses)
     use_ensemble_filter: bool = False   # frames_creation.use_hdbscan
     use_scale_detector: bool = False    # scale_detector.use_scale_detector
@@ -68,6 +76,9 @@ class PseudoLabeler:
 
     def __init__(self, cfg: PipelineConfig = PipelineConfig(),
                  bank: Optional[TemplateBank] = None):
+        if cfg.candidate.use_pseudo_lidar != cfg.use_pseudo_lidar:
+            cfg = dataclasses.replace(cfg, candidate=dataclasses.replace(
+                cfg.candidate, use_pseudo_lidar=cfg.use_pseudo_lidar))
         self.cfg = cfg
         if bank is None:
             bank = (TemplateBank.from_gltf(cfg.template_mesh_dir)
@@ -104,11 +115,26 @@ class PseudoLabeler:
         lomm.classify_all(tracks, method=cfg.moving_method)
         kept, points, ref_masks = aggregation.aggregate_tracks(
             tracks, transforms, window_frames, cfg.keep_k_frames,
-            cfg.min_standing_points)
+            cfg.min_standing_points,
+            use_pseudo_lidar=cfg.use_pseudo_lidar,
+            max_distance=cfg.candidate.max_distance_pseudo_lidar,
+            ref_scan=self._ref_scan(window_frames, get_points),
+            strict_hidden=cfg.strict_hidden_standing)
         if not kept:
             return []
 
         return self.label_from_cars(kept, points, ref_masks, window_frames)
+
+    def _ref_scan(self, window_frames, get_points):
+        """The reference frame's cam-frame scan, only when the real-lidar
+        strict hidden filter needs it (one extra accessor call)."""
+        if self.cfg.use_pseudo_lidar or not self.cfg.strict_hidden_standing:
+            return None
+        try:
+            k = list(window_frames).index(0)
+        except ValueError:
+            return None
+        return get_points(k)
 
     # ------------------------------------------------------------------
     def label_from_cars(self, kept, points, ref_masks,
@@ -389,7 +415,11 @@ class PseudoLabeler:
             lomm.classify_all(tracks, method=cfg.moving_method)
             kept, points, ref_masks = aggregation.aggregate_tracks(
                 tracks, job["transforms"], window_frames, cfg.keep_k_frames,
-                cfg.min_standing_points)
+                cfg.min_standing_points,
+                use_pseudo_lidar=cfg.use_pseudo_lidar,
+                max_distance=cfg.candidate.max_distance_pseudo_lidar,
+                ref_scan=self._ref_scan(window_frames, job["get_points"]),
+                strict_hidden=cfg.strict_hidden_standing)
             return dict(job=job, kept=kept, points=points,
                         ref_masks=ref_masks, window=window_frames)
 
