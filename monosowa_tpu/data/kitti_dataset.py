@@ -228,6 +228,7 @@ class KittiDetectionDataset:
             "trans": trans.astype(np.float32),
             "trans_inv": trans_inv.astype(np.float32),
             "flip_flag": np.bool_(flip),
+            "crop_scale": np.float32(crop_scale),
         }
         if self.use_add_data:
             sample.update(self._load_add_data(idx, trans_inv))
@@ -290,8 +291,18 @@ class KittiDetectionDataset:
                     and 0 <= center_3d[1] < self.resolution[1]):
                 continue
 
+            # the reference writes labels/size_2d BEFORE the lrtb check
+            # (kitti_dataset.py:334-340 vs :354-360): a negative-lrtb row
+            # dropped without clip_2d leaves a GHOST slot — label + size_2d
+            # set, everything else zero, mask_2d False (so it never reaches
+            # the loss; prepare_targets gathers by mask_2d)
+            cls_id = CLS2ID.get(obj.cls_type, 1)
             w = bbox_2d[2] - bbox_2d[0]
             h = bbox_2d[3] - bbox_2d[1]
+            sample["labels"][i] = cls_id
+            sample["size_2d"][i] = [w, h]
+            sample["valid"][i] = True
+
             c2n = center_2d / self.resolution
             s2n = np.array([w, h]) / self.resolution
             corner = bbox_2d / np.concatenate([self.resolution,
@@ -306,8 +317,6 @@ class KittiDetectionDataset:
                     l, r, t, b = (np.clip(v, 0, 1) for v in (l, r, t, b))
                 else:
                     continue
-
-            cls_id = CLS2ID.get(obj.cls_type, 1)
             depth_val = obj.pos[-1]
             if self.use_canonical_module:
                 depth_val = depth_val * canonical_scale
@@ -321,11 +330,9 @@ class KittiDetectionDataset:
             hb, hr = angle2class(heading)
 
             src_dims = np.array([obj.h, obj.w, obj.l], np.float32)
-            sample["labels"][i] = cls_id
             sample["boxes"][i] = [c2n[0], c2n[1], s2n[0], s2n[1]]
             sample["boxes_3d"][i] = [c3n[0], c3n[1], l, r, t, b]
             sample["depth"][i] = depth_val
-            sample["size_2d"][i] = [w, h]
             sample["src_size_3d"][i] = src_dims
             sample["size_3d"][i] = src_dims - self.cls_mean_size[cls_id]
             sample["heading_bin"][i] = hb

@@ -85,8 +85,11 @@ class Calibration:
         return self._hom(pts_ref) @ self.C2V.T
 
     def rect_to_img(self, pts_rect: np.ndarray):
+        # NOTE: divides by the input rect-frame z, NOT the homogeneous w
+        # (they differ by P2[2,3] ~ 5e-3 m) — the reference/OpenPCDet
+        # convention (kitti_utils.py:180-189), kept for exact parity
         hom = self._hom(pts_rect) @ self.P2.T
-        pts_img = hom[:, :2] / hom[:, 2:3]
+        pts_img = hom[:, :2] / np.asarray(pts_rect)[:, 2:3]
         depth = hom[:, 2] - self.P2.T[3, 2]
         return pts_img, depth
 
