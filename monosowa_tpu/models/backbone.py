@@ -117,7 +117,11 @@ def load_torch_resnet_state(variables: dict, state_path: str) -> dict:
             "var": jnp.asarray(sd[src + ".running_var"].numpy()),
         }
 
-    params["conv1"] = {"kernel": conv_w("conv1.weight")}
+    # 4-channel RGB-D stem keeps its fresh xavier conv1 — the reference
+    # replaces conv1 AFTER loading pretrained weights (backbone.py:109-111)
+    stem = np.asarray(params["conv1"]["kernel"])
+    if stem.shape[2] == sd["conv1.weight"].shape[1]:
+        params["conv1"] = {"kernel": conv_w("conv1.weight")}
     put_bn("bn1", "bn1")
     for stage, blocks in enumerate((3, 4, 6, 3)):
         for b in range(blocks):
