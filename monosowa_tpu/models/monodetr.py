@@ -85,7 +85,7 @@ class MonoDETR(nn.Module):
     num_depth_bins: int = 80
     depth_min: float = 1e-3
     depth_max: float = 60.0
-    msda_backend: str = "xla"   # "pallas" = ops/msda_pallas VMEM kernel
+    msda_backend: str = "auto"   # "pallas" = ops/msda_pallas VMEM kernel
     two_stage: bool = False     # encoder-proposal branch (monodetr.py:234+)
     position_embedding: str = "sine"   # "sine" | "learned" (:644-660)
     use_depth: bool = False     # 4-channel RGB-D input (backbone.py:109-111)
@@ -442,7 +442,7 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         num_depth_bins=cfg.get("num_depth_bins", 80),
         depth_min=float(cfg.get("depth_min", 1e-3)),
         depth_max=float(cfg.get("depth_max", 60.0)),
-        msda_backend=cfg.get("msda_backend", "xla"),
+        msda_backend=cfg.get("msda_backend", "auto"),
         two_stage=bool(cfg.get("two_stage", False)),
         position_embedding=cfg.get("position_embedding", "sine"),
         use_depth=bool(cfg.get("use_depth", False)),

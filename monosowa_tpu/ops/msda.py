@@ -154,19 +154,59 @@ def _bilinear_gather_quad(quad_flat: jnp.ndarray, loc: jnp.ndarray,
     return jnp.einsum("bqmps,bqmpsd->bqmd", coef, rows)
 
 
+def _onehot_rows(quadv_bm: jnp.ndarray, flat00: jnp.ndarray, dtype
+                 ) -> jnp.ndarray:
+    """MXU row fetch: quadv_bm (B, M, T, 4D); flat00 (B, C, M, P) anchor
+    token indices -> (B, C, M, P, 4, D) quad rows via a (one-hot @ value)
+    dot_general.
+
+    TPU gathers are row-rate-serialized (~1e8 rows/s); a (J, T) one-hot
+    contraction against (T, 4D) runs on the MXU at matmul rates and XLA
+    fuses the iota-compare into the dot operand, so the one-hot is never
+    materialized in HBM.  This is the forward/dLoc twin of the dValue
+    scatter->matmul trick below."""
+    b, m, t, d4 = quadv_bm.shape
+    d = d4 // 4
+    c, p = flat00.shape[1], flat00.shape[3]
+    rows_idx = jnp.moveaxis(flat00, 2, 1).reshape(b, m, c * p)
+    iota_t = jax.lax.broadcasted_iota(jnp.int32, (1, 1, 1, t), 3)
+    onehot = (rows_idx[..., None] == iota_t).astype(dtype)   # (B,M,J,T)
+    out4 = jax.lax.dot_general(
+        onehot, quadv_bm.astype(dtype),
+        (((3,), (2,)), ((0, 1), (0, 1))),
+        preferred_element_type=jnp.float32)                   # (B,M,J,4D)
+    out4 = out4.reshape(b, m, c, p, 4, d)
+    return jnp.moveaxis(out4, 2, 1)                           # (B,C,M,P,4,D)
+
+
+def _bilinear_onehot(quadv_bm: jnp.ndarray, loc: jnp.ndarray,
+                     aw: jnp.ndarray, h: int, w: int, dtype) -> jnp.ndarray:
+    """One-hot-matmul forward for one level: (B, Q, M, D)."""
+    flat00, slot_w, _, _ = _quad_slot_geometry(loc, h, w, with_derivs=False)
+    rows = _onehot_rows(quadv_bm, flat00, dtype)      # (B,Q,M,P,4,D)
+    coef = slot_w * aw[..., None]
+    return jnp.einsum("bqmps,bqmpsd->bqmd", coef, rows)
+
+
 def _msda_core(value: jnp.ndarray,
                spatial_shapes: Sequence[Tuple[int, int]],
                sampling_locations: jnp.ndarray,
                attention_weights: jnp.ndarray,
-               quad_flats=None) -> jnp.ndarray:
+               quads=None, gather_mode: str = "quad",
+               onehot_dtype=jnp.float32) -> jnp.ndarray:
     b, _, m, d = value.shape
     q = sampling_locations.shape[1]
     outputs = []
     start = 0
     for lvl, (h, w) in enumerate(spatial_shapes):
-        if quad_flats is not None:
+        if quads is not None and gather_mode == "onehot":
+            outputs.append(_bilinear_onehot(
+                quads[lvl], sampling_locations[:, :, :, lvl],
+                attention_weights[:, :, :, lvl], h, w, onehot_dtype))
+            continue
+        if quads is not None:
             outputs.append(_bilinear_gather_quad(
-                quad_flats[lvl], sampling_locations[:, :, :, lvl],
+                quads[lvl], sampling_locations[:, :, :, lvl],
                 attention_weights[:, :, :, lvl], h, w, m, d))
             continue
         value_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
@@ -180,16 +220,22 @@ def _msda_core(value: jnp.ndarray,
 
 
 def _make_quads(value: jnp.ndarray,
-                spatial_shapes: Sequence[Tuple[int, int]]):
-    """Per-level flattened quad tensors (B, T*M, 4D), built once per call
-    and shared by every query chunk."""
+                spatial_shapes: Sequence[Tuple[int, int]],
+                gather_mode: str = "quad"):
+    """Per-level quad tensors, built once per call and shared by every
+    query chunk: (B, T*M, 4D) for gather mode "quad", (B, M, T, 4D) for
+    the one-hot-matmul mode."""
     b, _, m, d = value.shape
     quads = []
     start = 0
     for h, w in spatial_shapes:
         value_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
         start += h * w
-        quads.append(_quad_value(value_l, w).reshape(b, h * w * m, 4 * d))
+        qv = _quad_value(value_l, w)                  # (B, T, M, 4, D)
+        if gather_mode == "onehot":
+            quads.append(jnp.moveaxis(qv, 2, 1).reshape(b, m, h * w, 4 * d))
+        else:
+            quads.append(qv.reshape(b, h * w * m, 4 * d))
     return tuple(quads)
 
 
@@ -210,16 +256,18 @@ def _chunk_leading_q(arrs, q, chunk_q):
 
 
 def _msda_fwd_chunked(value, spatial_shapes, loc, w, chunk_q,
-                      gather_mode="quad"):
+                      gather_mode="quad", onehot_dtype=jnp.float32):
     b, _, m, d = value.shape
     q = loc.shape[1]
-    quads = (_make_quads(value, spatial_shapes) if gather_mode == "quad"
-             else None)
+    quads = (_make_quads(value, spatial_shapes, gather_mode)
+             if gather_mode in ("quad", "onehot") else None)
     if q <= chunk_q:
-        return _msda_core(value, spatial_shapes, loc, w, quads)
+        return _msda_core(value, spatial_shapes, loc, w, quads, gather_mode,
+                          onehot_dtype)
     locs, wts = _chunk_leading_q((loc, w), q, chunk_q)
     out = jax.lax.map(
-        lambda lw: _msda_core(value, spatial_shapes, lw[0], lw[1], quads),
+        lambda lw: _msda_core(value, spatial_shapes, lw[0], lw[1], quads,
+                              gather_mode, onehot_dtype),
         (locs, wts))                                # (n, B, chunk_q, M*D)
     qp = locs.shape[0] * chunk_q
     out = jnp.moveaxis(out, 0, 1).reshape(b, qp, m * d)
@@ -249,8 +297,8 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
     for h, w_l in spatial_shapes:
         starts.append(acc)
         acc += h * w_l
-    quads = (_make_quads(value, spatial_shapes) if gather_mode == "quad"
-             else None)
+    quads = (_make_quads(value, spatial_shapes, gather_mode)
+             if gather_mode in ("quad", "onehot") else None)
 
     # ---- dLoc / dW ------------------------------------------------------
     def locw_chunk(args):
@@ -261,8 +309,11 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
             if quads is not None:
                 flat00, slot_w, slot_dwx, slot_dwy = _quad_slot_geometry(
                     loc_c[:, :, :, lvl], h, w_l)
-                rows = _gather_rows(quads[lvl], flat00, m, 4 * d)
-                rows = rows.reshape(rows.shape[:-1] + (4, d))
+                if gather_mode == "onehot":
+                    rows = _onehot_rows(quads[lvl], flat00, onehot_dtype)
+                else:
+                    rows = _gather_rows(quads[lvl], flat00, m, 4 * d)
+                    rows = rows.reshape(rows.shape[:-1] + (4, d))
                 gdot = jnp.einsum("bqmpsd,bqmd->bqmps", rows, do_c)
                 dw_l = jnp.einsum("bqmps,bqmps->bqmp", slot_w, gdot)
                 dx_l = aw_l * w_l * jnp.einsum("bqmps,bqmps->bqmp",
@@ -354,7 +405,7 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
 
         # scan (not map): accumulate into one carry instead of stacking
         # n_chunks copies of it
-        if gather_mode == "quad":
+        if gather_mode in ("quad", "onehot"):
             dvq, _ = jax.lax.scan(
                 lambda acc, args: (acc + dv_chunk_quad(args), None),
                 jnp.zeros((b, m, t_l, 4 * d), jnp.float32),
@@ -388,11 +439,11 @@ def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...], chunk_q: int,
     @jax.custom_vjp
     def f(value, loc, w):
         return _msda_fwd_chunked(value, spatial_shapes, loc, w, chunk_q,
-                                 gather_mode)
+                                 gather_mode, onehot_dtype)
 
     def f_fwd(value, loc, w):
         out = _msda_fwd_chunked(value, spatial_shapes, loc, w, chunk_q,
-                                gather_mode)
+                                gather_mode, onehot_dtype)
         return out, (value, loc, w)
 
     def f_bwd(res, dout):
@@ -435,11 +486,12 @@ def ms_deform_attn(value: jnp.ndarray,
     """
     if not custom_vjp:
         q = sampling_locations.shape[1]
-        quads = (_make_quads(value, spatial_shapes)
-                 if gather_mode == "quad" else None)
+        quads = (_make_quads(value, spatial_shapes, gather_mode)
+                 if gather_mode in ("quad", "onehot") else None)
+        odt = jnp.dtype(onehot_dtype)
         if q <= chunk_q:
             return _msda_core(value, spatial_shapes, sampling_locations,
-                              attention_weights, quads)
+                              attention_weights, quads, gather_mode, odt)
         # remat the chunk body: without it autodiff stacks every chunk's
         # (B, chunk, M, P, D) gather residuals across the map.
         b, _, m, d = value.shape
@@ -447,7 +499,7 @@ def ms_deform_attn(value: jnp.ndarray,
             (sampling_locations, attention_weights), q, chunk_q)
         core = jax.checkpoint(
             lambda lw: _msda_core(value, spatial_shapes, lw[0], lw[1],
-                                  quads))
+                                  quads, gather_mode, odt))
         out = jax.lax.map(core, (locs, wts))
         qp = locs.shape[0] * chunk_q
         return jnp.moveaxis(out, 0, 1).reshape(b, qp, m * d)[:, :q]
