@@ -74,7 +74,21 @@ def pipeline_config_from(cfg: Config) -> PipelineConfig:
         max_cars=int(opt.get("max_cars_per_frame", 32)),
         max_points=int(filt.get("max_points_per_car", 2048)),
         skip_non_visible=bool(opt.get("skip_non_visible_cars", True)),
+        use_pseudo_lidar=bool(fc.get("use_pseudo_lidar", True)),
     )
+
+
+def shuffled_frame_order(n: int, seq_start: Optional[int],
+                         seq_end: Optional[int]) -> np.ndarray:
+    """The KITTI-360 fleet draw (main_class.py:636-646
+    limit_sequences_all_random): a FIXED seed-360 shuffle of the frame
+    index space, sliced by [seq_start:seq_end] — concurrent share-nothing
+    workers with disjoint slices draw disjoint random frame subsets, so a
+    partial fleet run still covers the dataset uniformly."""
+    np.random.seed(360)
+    indexes = np.arange(0, n)
+    np.random.shuffle(indexes)
+    return indexes[seq_start:seq_end]
 
 
 class KittiObjectDriver:
@@ -109,11 +123,17 @@ class KittiObjectDriver:
         ids = sorted(os.path.splitext(f)[0] for f in os.listdir(img_dir))
         return ids
 
-    def run(self, seq_start: Optional[int], seq_end: Optional[int]) -> int:
+    def run(self, seq_start: Optional[int], seq_end: Optional[int],
+            shuffle: bool = False) -> int:
         ids = self.frame_ids()
-        lo = seq_start or 0
-        hi = min(seq_end if seq_end is not None else len(ids), len(ids))
-        ids = ids[lo:hi]
+        if shuffle:
+            # KITTI-360 fleet draw: disjoint random subsets per worker
+            ids = [ids[i] for i in shuffled_frame_order(
+                len(ids), seq_start, seq_end)]
+        else:
+            lo = seq_start or 0
+            hi = min(seq_end if seq_end is not None else len(ids), len(ids))
+            ids = ids[lo:hi]
         n_done = 0
         if self.flags.do_optim or self.flags.compute_dimensions:
             import dataclasses as _dc
@@ -366,7 +386,10 @@ def main(argv: Optional[List[str]] = None) -> int:
     t0 = time.time()
     if args.dataset in ("kitti", "all", "waymo_converted", "kitti360"):
         driver = KittiObjectDriver(cfg, flags)
-        n = driver.run(args.seq_start, args.seq_end)
+        # KITTI-360 workers draw seed-360-shuffled disjoint random frames
+        # (main_class.py:360, 636-646); the other datasets iterate in order
+        n = driver.run(args.seq_start, args.seq_end,
+                       shuffle=args.dataset in ("kitti360", "all"))
     else:
         raise NotImplementedError(
             "raw waymo ingestion runs through tools/waymo_to_kitti_projected"
