@@ -199,6 +199,97 @@ def _extract_window(depth: jnp.ndarray, masks_packed: jnp.ndarray,
     return meta, _pack_bits(full_img)
 
 
+def _compact_bank(pts, member, cap):
+    """(F, N, 3) points + (F, M, N) member -> (F, M, cap, 3) compacted
+    per-mask point banks + validity, members kept in ascending pixel order
+    (top_k over member * (N - iota); gathers are cheap at F*M*cap rows)."""
+    f, m, n = member.shape
+    score = jnp.where(member, jnp.int32(n) - jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, n), 2), 0)
+    vals, _ = jax.lax.top_k(score, cap)                  # (F, M, cap) desc
+    valid = vals > 0
+    idx = jnp.where(valid, jnp.int32(n) - vals, 0)       # ascending pixel id
+    bank = jnp.take_along_axis(pts[:, None], idx[..., None], axis=2)
+    return jnp.where(valid[..., None], bank, 0.0), valid
+
+
+@partial(jax.jit, static_argnames=("h", "w", "thr", "diameter", "max_dist",
+                                   "use_pseudo_lidar", "cap"))
+def _extract_window_bank(depth: jnp.ndarray, masks_packed: jnp.ndarray,
+                         mask_valid: jnp.ndarray, p2: jnp.ndarray,
+                         h: int, w: int, thr: int, diameter: float,
+                         max_dist: float, use_pseudo_lidar: bool,
+                         cap: int = 2048):
+    """Bank-mode extraction: same candidate semantics as _extract_window,
+    but instead of member BITMAPS it emits a compacted per-mask POINT BANK
+    that stays on device for the window-resident aggregation + fit
+    (sowa/bank.py) — the host never touches per-point data.
+
+    Returns meta (F, M, 6) [center_xyz, ok, count, truncated] (the one
+    small host download) and bank (F, M, cap, 3) camera-frame points
+    (device-resident).  ``truncated`` = the full mask touches the first or
+    last 10 pixel COLUMNS (the reference's (W,H)-layout ``[:10,:]`` check,
+    loader.py:794) — the clever-aggregation distance penalty."""
+    f, m = masks_packed.shape[0], masks_packed.shape[1]
+    n = h * w
+    masks = _unpack_masks(masks_packed, w)
+
+    fu, fv = p2[0, 0], p2[1, 1]
+    cu, cv = p2[0, 2], p2[1, 2]
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
+    px = ((xs - cu) * depth / fu).reshape(f, n)
+    py = ((ys - cv) * depth / fv).reshape(f, n)
+    pz = depth.reshape(f, n)
+    pvalid = pz > 1e-6
+    pts = jnp.stack([px, py, pz], -1)
+
+    area = jnp.sum(masks, axis=(2, 3))
+    struct = jnp.minimum(
+        2 + (jnp.sqrt(area.astype(jnp.float32)).astype(jnp.int32)) // 10,
+        K_MAX)
+    dist = _erosion_depth(masks).reshape(f, m, n)
+    mask_flat = masks.reshape(f, m, n)
+
+    mem_s = (dist > struct[..., None]) & pvalid[:, None]
+    mem_1 = (dist > 1) & pvalid[:, None]
+    mem_0 = mask_flat & pvalid[:, None]
+    c_1 = jnp.sum(mem_1, axis=-1)
+    c_s = jnp.sum(mem_s, axis=-1)
+    c_0 = jnp.sum(mem_0, axis=-1)
+    core = jnp.where((c_s >= thr)[..., None], mem_s,
+                     jnp.where((c_1 >= thr)[..., None], mem_1, mem_0))
+    ok = mask_valid & (area > 0) & (c_0 >= thr)
+
+    pts_b = pts[:, None]
+    center = _median3(jnp.broadcast_to(pts_b, (f, m, n, 3)), core)
+    d_xz = jnp.hypot(pts_b[..., 0] - center[..., 0:1],
+                     pts_b[..., 2] - center[..., 2:3])
+    core_f = core & (d_xz < diameter)
+    has_f = jnp.sum(core_f, axis=-1) > 0
+    center2 = _median3(jnp.broadcast_to(pts_b, (f, m, n, 3)), core_f)
+    center = jnp.where(has_f[..., None], center2, center)
+    if use_pseudo_lidar:
+        ok = ok & (jnp.linalg.norm(center, axis=-1) <= max_dist)
+
+    fc = _median3(jnp.broadcast_to(pts_b, (f, m, n, 3)), mem_0)
+    d_full = jnp.hypot(pts_b[..., 0] - fc[..., 0:1],
+                       pts_b[..., 2] - fc[..., 2:3])
+    full = mem_0 & (d_full < diameter)
+    n_full = jnp.sum(full, axis=-1)
+    ok = ok & (n_full >= thr)
+
+    trunc = (jnp.any(masks[:, :, :, :10], axis=(2, 3))
+             | jnp.any(masks[:, :, :, -10:], axis=(2, 3)))
+
+    bank, bank_valid = _compact_bank(pts, full, cap)
+    meta = jnp.concatenate(
+        [center, ok[..., None].astype(jnp.float32),
+         jnp.minimum(n_full, cap)[..., None].astype(jnp.float32),
+         trunc[..., None].astype(jnp.float32)], -1)
+    return meta, bank
+
+
 @dataclasses.dataclass
 class DeviceExtractor:
     """Host wrapper: batches windows of depth maps + masks through
@@ -210,7 +301,78 @@ class DeviceExtractor:
     img_hw: tuple
     cfg: CandidateConfig = dataclasses.field(default_factory=CandidateConfig)
     max_masks: int = 16
-    frame_bucket: int = 4
+    frame_bucket: int = 8
+
+    def extract_frames_banked(self, depths: Sequence[np.ndarray],
+                              masks_per_frame: Sequence[Sequence[np.ndarray]],
+                              cap: int = 2048):
+        """Bank-mode extraction: returns (cands, bank) where ``cands`` is a
+        per-frame candidate dict whose "points" entries are
+        ``bank.BankRef`` descriptors (no per-point host data) and ``bank``
+        is the DEVICE-resident (F_rows, M, cap, 3) camera-frame point bank
+        (row order = the dispatch order of frames with any mask)."""
+        from monosowa_tpu.sowa.bank import BankRef
+
+        h, w = self.img_hw
+        wpad = (-w) % 8
+        f_total = len(depths)
+        results: List[Optional[dict]] = [None] * f_total
+        todo = [i for i in range(f_total)
+                if depths[i] is not None and masks_per_frame[i]]
+        if not todo:
+            return results, None
+
+        g = self.frame_bucket
+        pending = []
+        for c0 in range(0, len(todo), g):
+            chunk = todo[c0:c0 + g]
+            depth_b = np.zeros((g, h, w), np.float32)
+            packed_b = np.zeros((g, self.max_masks, h, (w + wpad) // 8),
+                                np.uint8)
+            valid_b = np.zeros((g, self.max_masks), bool)
+            for k, fi in enumerate(chunk):
+                depth_b[k] = depths[fi]
+                for mi, mask in enumerate(masks_per_frame[fi]
+                                          [:self.max_masks]):
+                    packed_b[k, mi] = np.packbits(
+                        np.pad(mask, ((0, 0), (0, wpad))), axis=-1)
+                    valid_b[k, mi] = True
+            meta_dev, bank_dev = _extract_window_bank(
+                jnp.asarray(depth_b), jnp.asarray(packed_b),
+                jnp.asarray(valid_b), jnp.asarray(self.p2, jnp.float32),
+                h, w, self.cfg.moving_detection_threshold,
+                self.cfg.filter_diameter,
+                self.cfg.max_distance_pseudo_lidar,
+                self.cfg.use_pseudo_lidar, cap)
+            pending.append((chunk, meta_dev, bank_dev))
+
+        # every chunk is dispatched before ANY result is pulled; ONE
+        # stacked meta pull pays a single tunnel round trip for the lot
+        meta_all = np.asarray(jnp.concatenate([p[1] for p in pending], 0))
+        banks = []
+        row0 = 0
+        for ci, (chunk, meta_dev, bank_dev) in enumerate(pending):
+            meta = meta_all[ci * g:(ci + 1) * g]
+            banks.append(bank_dev)
+            for k, fi in enumerate(chunk):
+                locs, refs, masks_out = [], [], []
+                for mi, mask in enumerate(masks_per_frame[fi]
+                                          [:self.max_masks]):
+                    if meta[k, mi, 3] <= 0.5:
+                        continue
+                    locs.append(meta[k, mi, :3])
+                    refs.append(BankRef(row=row0 + k, mi=mi,
+                                        count=int(meta[k, mi, 4]),
+                                        trunc=bool(meta[k, mi, 5] > 0.5)))
+                    masks_out.append(mask)
+                if locs:
+                    results[fi] = {"locations": np.stack(locs),
+                                   "points": refs, "masks": masks_out}
+                else:
+                    results[fi] = {"locations": np.zeros((0, 3), np.float32),
+                                   "points": [], "masks": []}
+            row0 += g
+        return results, jnp.concatenate(banks, axis=0)
 
     def extract_frames(self, depths: Sequence[np.ndarray],
                        masks_per_frame: Sequence[Sequence[np.ndarray]]

@@ -37,6 +37,11 @@ class PipelineConfig:
     nscans_after: int = 30
     max_cars: int = 32
     max_points: int = 2048
+    # batched-fit padding granularity: car batches are padded UP to a
+    # multiple of this so repeated label_frames calls reuse compiled
+    # programs; every padded row does full grid-fit work, so CPU-bound
+    # tests shrink it while TPU production keeps 8+
+    fit_bucket: int = 8
     min_standing_points: int = 1000
     keep_k_frames: int = 10
     nms_iou: float = 0.1
@@ -55,6 +60,13 @@ class PipelineConfig:
     # enables the evidently intended range check)
     use_pseudo_lidar: bool = True
     strict_hidden_standing: bool = False
+    # device-resident window aggregation (sowa/bank.py): when jobs supply
+    # per-frame depth maps, keep every candidate's points ON DEVICE as a
+    # compacted bank and fit straight from it — the host only tracks
+    # candidate centers.  Slot geometry: n_slots observations x
+    # (max_points // n_slots) evenly-subsampled points each.
+    device_bank: bool = True
+    bank_slots: int = 10
     # optional stages (reference flags in parentheses)
     use_ensemble_filter: bool = False   # frames_creation.use_hdbscan
     use_scale_detector: bool = False    # scale_detector.use_scale_detector
@@ -140,7 +152,8 @@ class PseudoLabeler:
     def label_from_cars(self, kept, points, ref_masks,
                         window_frames, precomputed=None,
                         precomputed_nms=None,
-                        precomputed_refit=None) -> List[dict]:
+                        precomputed_refit=None,
+                        npts_override=None) -> List[dict]:
         """Fit + NMS + assemble from aggregated per-car point clouds —
         the `optimization` stage when the `frames_aggregation` cache is
         already on disk (cache.load_merged_cars).
@@ -192,7 +205,9 @@ class PseudoLabeler:
             # re-fit path below writes into theta in place
             theta = np.asarray(res.theta)[:n].copy()
         lwh = np.tile(np.array([l, w, h], np.float32), (n, 1))
-        npts = np.array([p.shape[0] for p in points[:n]], np.float32)
+        npts = (np.asarray(npts_override[:n], np.float32)
+                if npts_override is not None else
+                np.array([p.shape[0] for p in points[:n]], np.float32))
 
         # ---- 3D NMS + merge/re-fit (loader.py:2727-2800) --------------
         # pad device calls to the fixed max_cars shape: per-frame car counts
@@ -298,8 +313,10 @@ class PseudoLabeler:
                 "z": float(center[i, 2]), "theta": float(theta[i]),
                 "moving": bool(kept[i].moving),
                 "num_points": int(npts[i]),
-                # use_add_data payload (cars_cache_dir)
-                "points": points[i], "mask": mask,
+                # use_add_data payload (cars_cache_dir); None in bank mode
+                # (per-point data never leaves the device)
+                "points": points[i] if points is not None else None,
+                "mask": mask,
             })
         return cars
 
@@ -346,6 +363,8 @@ class PseudoLabeler:
 
         # phase A: camera-frame candidates, once per DISTINCT frame
         cam_cache = {}
+        use_bank = False
+        bank = None
         have_ids = bool(todo) and all("frame_ids" in j for j in todo)
         if have_ids:
             tasks = {}
@@ -357,6 +376,14 @@ class PseudoLabeler:
             # device path: jobs supply per-frame depth maps -> the whole
             # extraction (erosion, membership, medians, filters) runs as
             # batched TPU calls (sowa/candidates_device.py)
+            use_bank = (cfg.device_bank
+                        and cfg.use_pseudo_lidar
+                        and all("get_depth" in j for j in todo)
+                        and cfg.cars_cache_dir is None
+                        and not cfg.use_ensemble_filter
+                        and not cfg.use_scale_detector
+                        and not cfg.use_dimensions_estimation)
+            bank = None
             if all("get_depth" in j for j in todo):
                 from monosowa_tpu.sowa.candidates_device import \
                     DeviceExtractor
@@ -370,9 +397,19 @@ class PseudoLabeler:
                     depths.append(j["get_depth"](k))
                     mk = j["get_masks"](k)
                     masks_pf.append(list(mk) if mk else [])
-                for fid, c in zip(fids, ext.extract_frames(depths, masks_pf)):
-                    cam_cache[fid] = c
+                if use_bank:
+                    # bank mode (sowa/bank.py): points stay device-resident
+                    cands, bank = ext.extract_frames_banked(
+                        depths, masks_pf, cap=cfg.max_points)
+                    for fid, c in zip(fids, cands):
+                        cam_cache[fid] = c
+                    use_bank = bank is not None
+                else:
+                    for fid, c in zip(fids,
+                                      ext.extract_frames(depths, masks_pf)):
+                        cam_cache[fid] = c
             else:
+                use_bank = False
                 def extract_one(fid):
                     j, k = tasks[fid]
                     pts = j["get_points"](k)
@@ -391,16 +428,24 @@ class PseudoLabeler:
                     for fid in fids:
                         cam_cache[fid] = extract_one(fid)[1]
 
+        quota = cfg.max_points // cfg.bank_slots
+
         def prep(job):
             window_frames = job["window_frames"]
             cands = []
             for k in range(len(window_frames)):
                 if have_ids:
                     cand_cam = cam_cache[job["frame_ids"][k]]
-                    cands.append(None if cand_cam is None else
-                                 candidates.transform_candidates(
-                                     cand_cam, job["transforms"][k],
-                                     cfg.candidate))
+                    if use_bank:
+                        from monosowa_tpu.sowa import bank as bank_mod
+                        cands.append(bank_mod.transform_candidates_bank(
+                            cand_cam, job["transforms"][k],
+                            cfg.candidate.moving_detection_threshold))
+                    else:
+                        cands.append(None if cand_cam is None else
+                                     candidates.transform_candidates(
+                                         cand_cam, job["transforms"][k],
+                                         cfg.candidate))
                     continue
                 pts = job["get_points"](k)
                 masks_k = job["get_masks"](k)
@@ -413,6 +458,18 @@ class PseudoLabeler:
             tracks = lomm.greedy_track(cands, window_frames,
                                        cfg.dist_threshold_tracking)
             lomm.classify_all(tracks, method=cfg.moving_method)
+            if use_bank:
+                from monosowa_tpu.sowa import bank as bank_mod
+                kept, ref_masks, slots = bank_mod.select_car_slots(
+                    tracks, job["transforms"], window_frames,
+                    cfg.keep_k_frames, cfg.min_standing_points,
+                    cfg.bank_slots, quota,
+                    use_pseudo_lidar=cfg.use_pseudo_lidar,
+                    max_distance=cfg.candidate.max_distance_pseudo_lidar)
+                return dict(job=job, kept=kept, points=None,
+                            ref_masks=ref_masks, window=window_frames,
+                            slots=slots,
+                            npts=[s.npts for s in slots])
             kept, points, ref_masks = aggregation.aggregate_tracks(
                 tracks, job["transforms"], window_frames, cfg.keep_k_frames,
                 cfg.min_standing_points,
@@ -421,7 +478,9 @@ class PseudoLabeler:
                 ref_scan=self._ref_scan(window_frames, job["get_points"]),
                 strict_hidden=cfg.strict_hidden_standing)
             return dict(job=job, kept=kept, points=points,
-                        ref_masks=ref_masks, window=window_frames)
+                        ref_masks=ref_masks, window=window_frames,
+                        slots=None,
+                        npts=[p.shape[0] for p in points])
 
         # host prep (tracking / aggregation — numpy + scipy, GIL-releasing)
         # threads across frames so it overlaps rather than serializes ahead
@@ -434,21 +493,41 @@ class PseudoLabeler:
             prepared = [prep(j) for j in todo]
 
         # one cross-frame batched fit for every prepared car
-        all_tracks, all_points, all_windows, owners = [], [], [], []
+        all_tracks, all_points, all_slots, all_windows, owners = \
+            [], [], [], [], []
         for fi, item in enumerate(prepared):
             n_i = min(len(item["kept"]), cfg.max_cars)
             all_tracks.extend(item["kept"][:n_i])
-            all_points.extend(item["points"][:n_i])
+            if use_bank:
+                all_slots.extend(item["slots"][:n_i])
+            else:
+                all_points.extend(item["points"][:n_i])
             # each track's frame offsets are relative to its OWN frame's
             # window — edge frames have truncated/shifted windows, so the
             # moving-car trajectory theta must index with the right base
             all_windows.extend([item["window"]] * n_i)
             owners.extend([fi] * n_i)
         n_written = 0
-        if all_tracks:
+        nms_by_frame = {}
+        if all_tracks and use_bank:
+            from monosowa_tpu.sowa import bank as bank_mod
+            # bucket the bank's frame-row count for compile-cache stability
+            frows = bank.shape[0]
+            fpad = -(-frows // 8) * 8 - frows
+            bank_b = (jnp.pad(bank, ((0, fpad), (0, 0), (0, 0), (0, 0)))
+                      if fpad else bank)
+            l0, w0, h0 = cfg.template_dims_lwh
+            centers, thetas, nms_by_frame = bank_mod.fit_and_nms_slots(
+                bank_b, all_slots, all_tracks, all_windows, owners,
+                len(prepared), cfg.max_cars,
+                np.array([l0, w0, h0], np.float32), cfg.nms_iou,
+                self.template, self.occ_kernels, self.memb_kernels,
+                self.conv_spec, cfg.fit, cfg.bank_slots, quota)
+        elif all_tracks:
             # bucket the batch size so repeated label_frames calls reuse the
             # compiled fit instead of recompiling per distinct car count
-            bucket = -(-len(all_tracks) // 8) * 8
+            fb = cfg.fit_bucket
+            bucket = -(-len(all_tracks) // fb) * fb
             big = aggregation.build_car_batch(
                 all_tracks, all_points, prepared[0]["window"],
                 max_cars=bucket, max_points=cfg.max_points,
@@ -465,8 +544,8 @@ class PseudoLabeler:
 
         # one vmapped NMS over all frames instead of F per-frame dispatches;
         # frame count padded to a bucket for compile-cache stability
-        nms_by_frame = {}
-        if all_tracks:
+        # (bank mode already got keep/merged from the fused program)
+        if all_tracks and not use_bank:
             mc = cfg.max_cars
             l0, w0, h0 = cfg.template_dims_lwh
             f_n = -(-len(prepared) // 8) * 8
@@ -479,8 +558,7 @@ class PseudoLabeler:
                 n_i = len(sel)
                 c_f[fi, :n_i] = centers[sel]
                 t_f[fi, :n_i] = thetas[sel]
-                np_f[fi, :n_i] = [item["points"][j].shape[0]
-                                  for j in range(n_i)]
+                np_f[fi, :n_i] = item["npts"][:n_i]
                 v_f[fi, :n_i] = True
             lwh_f = np.tile(np.array([l0, w0, h0], np.float32),
                             (f_n, mc, 1))
@@ -500,22 +578,44 @@ class PseudoLabeler:
         # dispatches (each dispatch costs a full round-trip)
         refit_by_frame = {fi: {} for fi in range(len(prepared))}
         if all_tracks:
-            groups = []   # (fi, t, merged_points, track, window)
+            groups = []   # (fi, t, merged_points|slots, track, window)
             for fi, item in enumerate(prepared):
                 keep_i, merged_i = nms_by_frame[fi]
                 n_i = min(len(item["kept"]), cfg.max_cars)
                 targets = sorted({int(merged_i[i]) for i in range(n_i)
                                   if not keep_i[i] and keep_i[merged_i[i]]})
                 for t in targets:
-                    parts = [item["points"][t]] + [
-                        item["points"][i] for i in range(n_i)
-                        if not keep_i[i] and merged_i[i] == t]
-                    groups.append((fi, t,
-                                   aggregation.cap_points(
-                                       np.concatenate(parts, 0)),
+                    if use_bank:
+                        from monosowa_tpu.sowa import bank as bank_mod
+                        merged = item["slots"][t]
+                        for i in range(n_i):
+                            if not keep_i[i] and merged_i[i] == t:
+                                merged = bank_mod.merge_slots(
+                                    merged, item["slots"][i])
+                        payload = merged
+                    else:
+                        parts = [item["points"][t]] + [
+                            item["points"][i] for i in range(n_i)
+                            if not keep_i[i] and merged_i[i] == t]
+                        payload = aggregation.cap_points(
+                            np.concatenate(parts, 0))
+                    groups.append((fi, t, payload,
                                    item["kept"][t], item["window"]))
-            if groups:
-                rb = -(-len(groups) // 32) * 32
+            if groups and use_bank:
+                from monosowa_tpu.sowa import bank as bank_mod
+                rres = bank_mod.fit_slots(
+                    bank_b, [g[2] for g in groups],
+                    [g[3] for g in groups], [g[4] for g in groups],
+                    self.template, self.occ_kernels, self.memb_kernels,
+                    self.conv_spec, cfg.fit, cfg.bank_slots, quota)
+                rpacked = np.asarray(jnp.stack(
+                    [rres.x, rres.y, rres.z, rres.theta]))
+                for gi, (fi, t, _, _, _) in enumerate(groups):
+                    refit_by_frame[fi][t] = (rpacked[:3, gi],
+                                             float(rpacked[3, gi]))
+            elif groups:
+                fb = cfg.fit_bucket
+                rb = -(-len(groups) // fb) * fb
                 rbatch = aggregation.build_car_batch(
                     [g[3] for g in groups], [g[2] for g in groups],
                     prepared[0]["window"], max_cars=rb,
@@ -538,7 +638,8 @@ class PseudoLabeler:
                                         item["ref_masks"], item["window"],
                                         precomputed=pre,
                                         precomputed_nms=nms_by_frame.get(fi),
-                                        precomputed_refit=refit_by_frame[fi])
+                                        precomputed_refit=refit_by_frame[fi],
+                                        npts_override=item["npts"])
             out_path = item["job"]["out_path"]
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             write_pseudo_label_file(out_path, cars)

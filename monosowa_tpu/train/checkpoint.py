@@ -7,6 +7,7 @@ epoch, a tracked best checkpoint (by Car-moderate AP3D), and resume.
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any, Optional, Tuple
 
@@ -14,7 +15,11 @@ import jax
 import numpy as np
 
 
+@functools.lru_cache(maxsize=None)
 def _checkpointer():
+    # one instance per process: letting a Checkpointer get GC'd shuts down
+    # orbax's shared async executor, and the NEXT checkpointer's restore
+    # dies with "cannot schedule new futures after shutdown"
     import orbax.checkpoint as ocp
     return ocp.StandardCheckpointer()
 

@@ -130,9 +130,14 @@ def run_ours(scene, tmp_path):
 
     from monosowa_tpu.sowa.fitting import make_conv_kernels
 
+    # CPU-budget shapes: every padded fit row does the full grid search
+    # (the single-frame label_frame path pads straight to max_cars), so
+    # pad to 4 cars and cap points at 4096 (the scene clouds are <= ~3000
+    # pts and <= 4 candidates/frame, so nothing is subsampled or dropped
+    # and parity stays exact)
     cfg = pipeline.PipelineConfig(
-        nscans_before=WINDOW, nscans_after=WINDOW, max_cars=16,
-        max_points=8192,
+        nscans_before=WINDOW, nscans_after=WINDOW, max_cars=4,
+        max_points=4096, fit_bucket=4,
         fit=FitConfig(n_dx=GRID[0], n_dz=GRID[1], n_theta=GRID[2],
                       fine_chunk=12))
     labeler = pipeline.PseudoLabeler(cfg)
