@@ -12,7 +12,7 @@ TPU-first: NHWC layout (XLA's native conv layout), bfloat16-friendly.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -25,24 +25,29 @@ class Bottleneck(nn.Module):
     features: int           # bottleneck width; output = 4x
     stride: int = 1
     downsample: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x):
         out_ch = self.features * 4
         identity = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
         y = FrozenBatchNorm(self.features, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), strides=(self.stride, self.stride),
-                    padding=((1, 1), (1, 1)), use_bias=False, name="conv2")(y)
+                    padding=((1, 1), (1, 1)), use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
         y = FrozenBatchNorm(self.features, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_ch, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(out_ch, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
         y = FrozenBatchNorm(out_ch, name="bn3")(y)
         if self.downsample:
             identity = nn.Conv(out_ch, (1, 1),
                                strides=(self.stride, self.stride),
-                               use_bias=False, name="down_conv")(x)
+                               use_bias=False, dtype=self.dtype,
+                               name="down_conv")(x)
             identity = FrozenBatchNorm(out_ch, name="down_bn")(identity)
         return nn.relu(y + identity)
 
@@ -59,13 +64,15 @@ class ResNet50(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     depth_input: bool = False
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, x) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         stem_init = (nn.initializers.xavier_uniform() if self.depth_input
                      else nn.initializers.lecun_normal())
         y = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                    use_bias=False, kernel_init=stem_init, name="conv1")(x)
+                    use_bias=False, kernel_init=stem_init, dtype=self.dtype,
+                    name="conv1")(x)
         y = FrozenBatchNorm(64, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -75,9 +82,10 @@ class ResNet50(nn.Module):
         for stage, (blocks, w) in enumerate(zip(self.stage_sizes, widths)):
             stride = 1 if stage == 0 else 2
             y = Bottleneck(w, stride=stride, downsample=True,
-                           name=f"layer{stage + 1}_0")(y)
+                           dtype=self.dtype, name=f"layer{stage + 1}_0")(y)
             for b in range(1, blocks):
-                y = Bottleneck(w, name=f"layer{stage + 1}_{b}")(y)
+                y = Bottleneck(w, dtype=self.dtype,
+                               name=f"layer{stage + 1}_{b}")(y)
             if stage >= 1:
                 outputs.append(y)
         return tuple(outputs)

@@ -13,6 +13,8 @@ Layout: NHWC; the depth embedding sequence is batch-first.
 
 from __future__ import annotations
 
+from typing import Any
+
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
@@ -48,17 +50,19 @@ class DepthEncoderLayer(nn.Module):
     nhead: int = 8
     dim_feedforward: int = 256
     dropout: float = 0.1
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos, deterministic: bool = True):
         q = k = src + pos
-        attn = MultiHeadAttention(self.nhead, self.dropout, name="self_attn")(
+        attn = MultiHeadAttention(self.nhead, self.dropout, dtype=self.dtype,
+                                  name="self_attn")(
             q, k, src, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
-        ff = nn.Dense(self.dim_feedforward)(src)
+        ff = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src)
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype)(ff)
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(name="norm2")(src)
 
@@ -68,6 +72,7 @@ class DepthPredictor(nn.Module):
     num_depth_bins: int = 80
     depth_min: float = 1e-3
     depth_max: float = 60.0
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, features, pos_16, deterministic: bool = True):
@@ -82,21 +87,25 @@ class DepthPredictor(nn.Module):
         def gn(x):
             return nn.GroupNorm(num_groups=32)(x)
 
-        src16 = gn(nn.Conv(self.d_model, (1, 1), name="proj")(f16))
+        src16 = gn(nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
+                           name="proj")(f16))
         f32u = jax.image.resize(f32, (f32.shape[0], h16, w16, f32.shape[3]),
                                 method="bilinear")
-        src32 = gn(nn.Conv(self.d_model, (1, 1), name="upsample")(f32u))
+        src32 = gn(nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
+                           name="upsample")(f32u))
         src8 = gn(nn.Conv(self.d_model, (3, 3), strides=(2, 2),
-                          padding=((1, 1), (1, 1)), name="downsample")(f8))
+                          padding=((1, 1), (1, 1)), dtype=self.dtype,
+                          name="downsample")(f8))
         src = (src8 + src16 + src32) / 3.0
 
         y = nn.Conv(self.d_model, (3, 3), padding=((1, 1), (1, 1)),
-                    name="head1")(src)
+                    dtype=self.dtype, name="head1")(src)
         y = nn.relu(nn.GroupNorm(num_groups=32)(y))
         y = nn.Conv(self.d_model, (3, 3), padding=((1, 1), (1, 1)),
-                    name="head2")(y)
+                    dtype=self.dtype, name="head2")(y)
         y = nn.relu(nn.GroupNorm(num_groups=32)(y))
 
+        # classifier logits in f32 (feeds the DDN focal loss + softmax)
         depth_logits = nn.Conv(self.num_depth_bins + 1, (1, 1),
                                name="classifier")(y)
         bin_values = jnp.asarray(lid_bin_values(
@@ -108,8 +117,8 @@ class DepthPredictor(nn.Module):
         seq = y.reshape(b, h16 * w16, self.d_model)
         pos_seq = pos_16.reshape(1, h16 * w16, self.d_model)
         depth_embed = DepthEncoderLayer(
-            self.d_model, name="encoder")(seq, pos_seq,
-                                          deterministic=deterministic)
+            self.d_model, dtype=self.dtype,
+            name="encoder")(seq, pos_seq, deterministic=deterministic)
         depth_embed = depth_embed.reshape(b, h16, w16, self.d_model)
 
         # learned per-meter depth embedding, linearly interpolated

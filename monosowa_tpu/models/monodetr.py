@@ -32,7 +32,7 @@ import numpy as np
 
 from monosowa_tpu.models.backbone import ResNet50
 from monosowa_tpu.models.depth_predictor import DepthPredictor
-from monosowa_tpu.models.layers import MLP, inverse_sigmoid
+from monosowa_tpu.models.layers import MLP, inverse_sigmoid, resolve_dtype
 from monosowa_tpu.models.position_encoding import (LearnedPositionEmbedding,
                                                    sine_position_encoding)
 from monosowa_tpu.models.transformer import (
@@ -90,6 +90,9 @@ class MonoDETR(nn.Module):
     position_embedding: str = "sine"   # "sine" | "learned" (:644-660)
     use_depth: bool = False     # 4-channel RGB-D input (backbone.py:109-111)
     use_dab: bool = False       # DAB-DETR anchor queries (:255-259, 518-585)
+    # mixed-precision compute dtype ("auto" = bf16 on TPU, f32 elsewhere);
+    # params, heads, norms and softmax logits stay f32
+    compute_dtype: str = "auto"
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, calibs: jnp.ndarray,
@@ -100,16 +103,19 @@ class MonoDETR(nn.Module):
         the reference's output dict."""
         deterministic = not training
         b = images.shape[0]
+        dtype = resolve_dtype(self.compute_dtype)
 
-        feats = ResNet50(depth_input=self.use_depth,
-                         name="backbone")(images)  # C3, C4, C5
+        feats = ResNet50(depth_input=self.use_depth, dtype=dtype,
+                         name="backbone")(images.astype(dtype))  # C3, C4, C5
 
         srcs = []
         for i, f in enumerate(feats):
-            y = nn.Conv(self.d_model, (1, 1), name=f"input_proj{i}")(f)
+            y = nn.Conv(self.d_model, (1, 1), dtype=dtype,
+                        name=f"input_proj{i}")(f)
             srcs.append(nn.GroupNorm(num_groups=32)(y))
         y = nn.Conv(self.d_model, (3, 3), strides=(2, 2),
-                    padding=((1, 1), (1, 1)), name="input_proj3")(feats[-1])
+                    padding=((1, 1), (1, 1)), dtype=dtype,
+                    name="input_proj3")(feats[-1])
         srcs.append(nn.GroupNorm(num_groups=32)(y))
 
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
@@ -135,6 +141,7 @@ class MonoDETR(nn.Module):
         # ------- depth predictor (stride-16 grid) ----------------------
         depth_logits, depth_embed, weighted_depth, _ = DepthPredictor(
             self.d_model, self.num_depth_bins, self.depth_min, self.depth_max,
+            dtype=dtype,
             name="depth_predictor")(srcs[:3], pos[1], deterministic)
         h16, w16 = spatial_shapes[1]
         depth_embed_seq = depth_embed.reshape(b, h16 * w16, self.d_model)
@@ -143,7 +150,7 @@ class MonoDETR(nn.Module):
         memory = VisualEncoder(
             self.enc_layers, self.d_model, self.d_ffn, self.dropout,
             self.num_feature_levels, self.nheads, self.enc_n_points,
-            self.msda_backend,
+            self.msda_backend, dtype,
             name="encoder")(src_flat, pos_flat, spatial_shapes, deterministic)
 
         # ------- queries ----------------------------------------------
@@ -284,7 +291,7 @@ class MonoDETR(nn.Module):
             output = DepthAwareDecoderLayer(
                 self.d_model, self.d_ffn, self.dropout,
                 self.num_feature_levels, self.nheads, self.dec_n_points,
-                self.group_num, self.msda_backend,
+                self.group_num, self.msda_backend, dtype,
                 name=f"decoder_layer{lid}")(
                 output, query_pos, ref_input, memory, spatial_shapes,
                 depth_embed_seq, training, deterministic,
@@ -447,4 +454,5 @@ def build_monodetr(cfg: Dict[str, Any]) -> MonoDETR:
         position_embedding=cfg.get("position_embedding", "sine"),
         use_depth=bool(cfg.get("use_depth", False)),
         use_dab=bool(cfg.get("use_dab", False)),
+        compute_dtype=str(cfg.get("compute_dtype", "auto")),
     )

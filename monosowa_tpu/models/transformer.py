@@ -27,7 +27,7 @@ reference runs fixed 1280x384 inputs where masks are always all-valid
 from __future__ import annotations
 
 import math
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -58,6 +58,7 @@ class MSDeformAttnModule(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     backend: str = "xla"   # "xla" (gather core) or "pallas" (VMEM kernel)
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, query, reference_points, src_flat,
@@ -69,17 +70,20 @@ class MSDeformAttnModule(nn.Module):
         dh = self.d_model // m
 
         value = nn.Dense(self.d_model, kernel_init=nn.initializers.xavier_uniform(),
-                         name="value_proj")(src_flat)
+                         dtype=self.dtype, name="value_proj")(src_flat)
         value = value.reshape(b, -1, m, dh)
 
+        # offsets/weights heads stay f32: sampling locations need the
+        # mantissa (loc * W - 0.5 at W=160 is unit-resolution in bf16)
         offsets = nn.Dense(m * l * p * 2,
                            kernel_init=nn.initializers.zeros,
                            bias_init=_ring_bias_init(m, l, p),
-                           name="sampling_offsets")(query)
+                           name="sampling_offsets")(query.astype(jnp.float32))
         offsets = offsets.reshape(b, lq, m, l, p, 2)
         weights = nn.Dense(m * l * p, kernel_init=nn.initializers.zeros,
                            bias_init=nn.initializers.zeros,
-                           name="attention_weights")(query)
+                           name="attention_weights")(
+            query.astype(jnp.float32))
         weights = jax.nn.softmax(weights.reshape(b, lq, m, l * p), axis=-1)
         weights = weights.reshape(b, lq, m, l, p)
 
@@ -115,7 +119,7 @@ class MSDeformAttnModule(nn.Module):
             out = ms_deform_attn(value, spatial_shapes, loc, weights)
         return nn.Dense(self.d_model,
                         kernel_init=nn.initializers.xavier_uniform(),
-                        name="output_proj")(out)
+                        dtype=self.dtype, name="output_proj")(out)
 
 
 class VisualEncoderLayer(nn.Module):
@@ -126,19 +130,20 @@ class VisualEncoderLayer(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     msda_backend: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos, reference_points, spatial_shapes,
                  deterministic: bool = True):
         attn = MSDeformAttnModule(self.d_model, self.n_levels, self.n_heads,
                                   self.n_points, self.msda_backend,
-                                  name="self_attn")(
+                                  dtype=self.dtype, name="self_attn")(
             src + pos, reference_points, src, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
         src = nn.LayerNorm(name="norm1")(src)
-        ff = nn.Dense(self.d_ffn)(src)
+        ff = nn.Dense(self.d_ffn, dtype=self.dtype)(src)
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model)(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype)(ff)
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(name="norm2")(src)
 
@@ -166,6 +171,7 @@ class VisualEncoder(nn.Module):
     n_heads: int = 8
     n_points: int = 4
     msda_backend: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, src, pos, spatial_shapes, deterministic: bool = True):
@@ -174,7 +180,7 @@ class VisualEncoder(nn.Module):
         for i in range(self.num_layers):
             src = VisualEncoderLayer(
                 self.d_model, self.d_ffn, self.dropout, self.n_levels,
-                self.n_heads, self.n_points, self.msda_backend,
+                self.n_heads, self.n_points, self.msda_backend, self.dtype,
                 name=f"layer{i}")(
                 src, pos, ref, spatial_shapes, deterministic)
         return src
@@ -189,6 +195,7 @@ class DepthAwareDecoderLayer(nn.Module):
     n_points: int = 4
     group_num: int = 11
     msda_backend: str = "auto"
+    dtype: Any = None
 
     @nn.compact
     def __call__(self, tgt, query_pos, reference_points, src, spatial_shapes,
@@ -196,6 +203,7 @@ class DepthAwareDecoderLayer(nn.Module):
                  deterministic: bool = True, self_attn_mask=None):
         # --- depth cross-attention -------------------------------------
         d_attn = MultiHeadAttention(self.n_heads, self.dropout,
+                                    dtype=self.dtype,
                                     name="cross_attn_depth")(
             tgt, depth_embed_seq, depth_embed_seq, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(d_attn,
@@ -204,16 +212,20 @@ class DepthAwareDecoderLayer(nn.Module):
 
         # --- group-wise self-attention ---------------------------------
         qk = tgt + query_pos
-        q_in = (nn.Dense(self.d_model, name="sa_qcontent_proj")(qk)
-                + nn.Dense(self.d_model, name="sa_qpos_proj")(qk))
-        k_in = (nn.Dense(self.d_model, name="sa_kcontent_proj")(qk)
-                + nn.Dense(self.d_model, name="sa_kpos_proj")(qk))
+        q_in = (nn.Dense(self.d_model, dtype=self.dtype,
+                         name="sa_qcontent_proj")(qk)
+                + nn.Dense(self.d_model, dtype=self.dtype,
+                           name="sa_qpos_proj")(qk))
+        k_in = (nn.Dense(self.d_model, dtype=self.dtype,
+                         name="sa_kcontent_proj")(qk)
+                + nn.Dense(self.d_model, dtype=self.dtype,
+                           name="sa_kpos_proj")(qk))
         v_in = tgt
         if self_attn_mask is not None:
             # DN-DETR path: the block mask encodes both group isolation and
             # denoising-group isolation (models/dn_components.py)
             s_attn = MultiHeadAttention(self.n_heads, self.dropout,
-                                        name="self_attn")(
+                                        dtype=self.dtype, name="self_attn")(
                 q_in, k_in, v_in, attn_mask=self_attn_mask,
                 deterministic=deterministic)
         elif training and self.group_num > 1:
@@ -228,13 +240,13 @@ class DepthAwareDecoderLayer(nn.Module):
                 return x.reshape(b, g, qn, d).reshape(b, gq, d)
 
             s_attn = MultiHeadAttention(self.n_heads, self.dropout,
-                                        name="self_attn")(
+                                        dtype=self.dtype, name="self_attn")(
                 fold(q_in), fold(k_in), fold(v_in),
                 deterministic=deterministic)
             s_attn = unfold(s_attn)
         else:
             s_attn = MultiHeadAttention(self.n_heads, self.dropout,
-                                        name="self_attn")(
+                                        dtype=self.dtype, name="self_attn")(
                 q_in, k_in, v_in, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(s_attn,
                                              deterministic=deterministic)
@@ -243,15 +255,15 @@ class DepthAwareDecoderLayer(nn.Module):
         # --- deformable cross-attention --------------------------------
         c_attn = MSDeformAttnModule(self.d_model, self.n_levels, self.n_heads,
                                     self.n_points, self.msda_backend,
-                                    name="cross_attn")(
+                                    dtype=self.dtype, name="cross_attn")(
             tgt + query_pos, reference_points, src, spatial_shapes)
         tgt = tgt + nn.Dropout(self.dropout)(c_attn,
                                              deterministic=deterministic)
         tgt = nn.LayerNorm(name="norm1")(tgt)
 
         # --- FFN -------------------------------------------------------
-        ff = nn.Dense(self.d_ffn, name="linear1")(tgt)
+        ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
-        ff = nn.Dense(self.d_model, name="linear2")(ff)
+        ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         tgt = tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
         return nn.LayerNorm(name="norm3")(tgt)
