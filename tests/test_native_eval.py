@@ -91,3 +91,47 @@ def test_accumulate_pr_parity():
         if sim != -1:
             pr_py[t, 3] += sim
     np.testing.assert_allclose(pr_native, pr_py, atol=1e-9)
+
+
+def test_accumulate_pr_parity_at_scale():
+    """Fused statistics at realistic-eval scale: ~1k GT x ~1.5k dets per
+    call with a dense DontCare field (the devkit's fp-inside-dc discount),
+    plus every ignored-class combination.  Guards the native path where the
+    small randomized cases cannot: score-threshold tie-breaks, dc overlap
+    accumulation and assigned-det bookkeeping all at volume."""
+    rng = np.random.default_rng(7)
+    num_gt, num_dt = 800, 1200
+    overlaps = rng.uniform(0, 1, (num_dt, num_gt))
+    # cluster overlaps near the 0.5 min_overlap so assignment order matters
+    near = rng.uniform(size=overlaps.shape) < 0.3
+    overlaps[near] = 0.5 + rng.normal(scale=0.02, size=int(near.sum()))
+    gt_datas = np.concatenate([rng.uniform(0, 1200, (num_gt, 4)),
+                               rng.uniform(-np.pi, np.pi, (num_gt, 1))], 1)
+    dt_datas = np.concatenate([rng.uniform(0, 1200, (num_dt, 4)),
+                               rng.uniform(-np.pi, np.pi, (num_dt, 1)),
+                               rng.uniform(0, 1, (num_dt, 1))], 1)
+    # duplicate scores: threshold comparisons must tie-break identically
+    dt_datas[::7, -1] = np.round(dt_datas[::7, -1], 1)
+    ignored_gt = rng.choice([-1, 0, 1], num_gt,
+                            p=[0.3, 0.4, 0.3]).astype(np.int64)
+    ignored_det = rng.choice([-1, 0, 1], num_dt,
+                             p=[0.3, 0.4, 0.3]).astype(np.int64)
+    # pathological DontCare density: 64 large, heavily overlapping regions
+    dc = rng.uniform(0, 1100, (64, 4))
+    dc[:, 2:] = dc[:, :2] + rng.uniform(50, 400, (64, 2))
+
+    case = (overlaps, gt_datas, dt_datas, ignored_gt, ignored_det, dc)
+    thresholds = np.linspace(0.05, 0.95, 11)
+    pr_native = np.zeros((11, 4))
+    native.accumulate_pr(*case, metric=0, min_overlap=0.5,
+                         thresholds=thresholds, compute_aos=True,
+                         pr=pr_native)
+    pr_py = np.zeros((11, 4))
+    for t, th in enumerate(thresholds):
+        tp, fp, fn, sim, _ = E.compute_statistics(
+            *case, metric=0, min_overlap=0.5, thresh=th, compute_fp=True,
+            compute_aos=True)
+        pr_py[t, :3] += (tp, fp, fn)
+        if sim != -1:
+            pr_py[t, 3] += sim
+    np.testing.assert_allclose(pr_native, pr_py, atol=1e-9)
