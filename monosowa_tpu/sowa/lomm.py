@@ -145,16 +145,72 @@ def _consecutive_deltas(frames: Sequence[int],
 def classify_moving(track: Track, method: str = "both5",
                     dist_threshold_moving: float = 5.0,
                     z_threshold: float = 0.2,
-                    alpha: float = 1e-3) -> bool:
-    """Moving/standing decision; mutates track.moving and returns it."""
+                    alpha: float = 1e-3,
+                    dist_moving: float = 15.0,
+                    speed_moving: float = 0.75,
+                    ratio_moving: float = 1.0,
+                    spread_radius: float = 5.0,
+                    spread_fraction: float = 0.95) -> bool:
+    """Moving/standing decision; mutates track.moving and returns it.
+
+    The reference ships 7 variants (loader.py:2247-2641); the KITTI config
+    calls _both5 (:164) and KITTI-360 _both (:244).  All are available:
+
+    * "simple" = decide_if_standing_or_moving (:2247): start-to-end xz
+      distance > dist_threshold_moving.
+    * "both"   (:2283): p-value of net displacement under a random-walk
+      noise model (sigma_net * sqrt(N)) < alpha AND net > threshold.
+    * "both2"  (:2353): xz-plane ratio test; defaults to MOVING on short
+      tracks; moving iff xz net > dist_moving OR mean-delta speed >
+      speed_moving OR speed/sigma >= ratio_moving.
+    * "bothv3" (:2413): LiDAR-spread test — moving iff < spread_fraction
+      of the track's concatenated points lie within spread_radius of
+      their centroid (needs host point arrays; unavailable in bank mode).
+    * "both4"  (:2451): z = net / (sigma_net * sqrt(N)) > 1 AND net >
+      threshold.
+    * "both5"  (:2516): z = |mean delta| / sigma_net > 0.2 AND net >
+      threshold (the shipped KITTI default).
+    * "both6"  (:2581): |mean delta| - sigma_net > 2 AND net > threshold.
+    """
+    if method == "simple":
+        s = np.asarray(track.locations[0][:3], np.float64)
+        e = np.asarray(track.locations[-1][:3], np.float64)
+        track.moving = bool(np.hypot(e[0] - s[0], e[2] - s[2])
+                            > dist_threshold_moving)
+        return track.moving
+    if method == "bothv3":
+        pts = [p for p in track.points
+               if isinstance(p, np.ndarray) and p.ndim == 2]
+        if not pts:
+            raise ValueError("bothv3 needs per-observation point arrays "
+                             "(unavailable in device-bank mode)")
+        cat = np.concatenate(pts, axis=0)
+        d = np.linalg.norm(cat - cat.mean(axis=0), axis=1)
+        track.moving = bool((d < spread_radius).sum()
+                            < spread_fraction * cat.shape[0])
+        return track.moving
+
     diffs = _consecutive_deltas(track.frames, track.locations)
     if len(diffs) <= 1:
-        track.moving = False
-        return False
+        # both2 assumes MOVING by default on short tracks (:2364)
+        track.moving = method == "both2"
+        return track.moving
     sigma = np.std(diffs, axis=0) / np.sqrt(2.0)
     sigma_net = np.linalg.norm(sigma)
     net = np.linalg.norm(np.asarray(track.locations[-1][:3])
                          - np.asarray(track.locations[0][:3]))
+    if method == "both2":
+        mean_xz = np.mean(diffs, axis=0)
+        speed = np.hypot(mean_xz[0], mean_xz[2])
+        sig_xz = np.hypot(sigma[0], sigma[2])
+        whole = np.asarray(track.locations[-1][:3], np.float64) \
+            - np.asarray(track.locations[0][:3], np.float64)
+        whole_dist = np.hypot(whole[0], whole[2])
+        track.moving = bool(
+            whole_dist > dist_moving or speed > speed_moving
+            or (sig_xz > 1e-12 and speed / sig_xz >= ratio_moving)
+            or (sig_xz <= 1e-12 and speed > 0))
+        return track.moving
     if sigma_net < 1e-12:
         # perfectly consistent motion: moving iff it actually went somewhere
         track.moving = bool(net > dist_threshold_moving)
@@ -163,6 +219,12 @@ def classify_moving(track: Track, method: str = "both5",
     if method == "both5":
         z = np.linalg.norm(np.mean(diffs, axis=0)) / sigma_net
         track.moving = bool(z > z_threshold and net > dist_threshold_moving)
+    elif method == "both6":
+        z = np.linalg.norm(np.mean(diffs, axis=0)) - sigma_net
+        track.moving = bool(z > 2.0 and net > dist_threshold_moving)
+    elif method == "both4":
+        z = net / (sigma_net * np.sqrt(len(diffs)))
+        track.moving = bool(z > 1.0 and net > dist_threshold_moving)
     elif method == "both":
         std_net = sigma_net * np.sqrt(len(diffs))
         z = net / std_net
