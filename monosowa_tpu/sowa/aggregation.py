@@ -97,6 +97,16 @@ def aggregate_standing_clever(track: Track,
     return np.concatenate([pts_list[i] for i in order], axis=0)
 
 
+def aggregate_standing_all(track: Track) -> Optional[np.ndarray]:
+    """Plain aggregation (use_clever_aggregation: False):
+    standing_concatenate_lidar (loader.py:773-781) — concatenate EVERY
+    observation's ref-frame points, no frame selection."""
+    pts_list = [p for p in track.points if p is not None]
+    if not pts_list:
+        return None
+    return np.concatenate(pts_list, axis=0)
+
+
 def moving_keep_ref(track: Track) -> Optional[np.ndarray]:
     for f, pts in zip(track.frames, track.points):
         if f == 0:
@@ -173,12 +183,17 @@ def aggregate_tracks(tracks: Sequence[Track], transforms: np.ndarray,
                      use_pseudo_lidar: bool = True,
                      max_distance: float = 75.0,
                      ref_scan: Optional[np.ndarray] = None,
-                     strict_hidden: bool = False):
+                     strict_hidden: bool = False,
+                     clever: bool = True):
     """Full post-classification aggregation: returns (kept_tracks,
     per-track aggregated points, per-track ref masks).
 
     ``min_points`` mirrors lidar_threshold_during_optim (standing cars with
     fewer aggregated points are dropped — filtering.py:21-22).
+
+    ``clever=False`` = the reference's use_clever_aggregation: False
+    branch (loader.py:176-179): standing cars concatenate every
+    observation instead of the keep-k closest frames.
 
     ``use_pseudo_lidar=False`` (real velodyne scans): the hidden-standing
     filter switches from the mask branch to the live-scan range query
@@ -201,8 +216,9 @@ def aggregate_tracks(tracks: Sequence[Track], transforms: np.ndarray,
                 continue
             pts = moving_keep_ref(t)
         else:
-            pts = aggregate_standing_clever(t, transforms, window, keep_k,
-                                            inv_transforms, trunc_cache)
+            pts = (aggregate_standing_clever(t, transforms, window, keep_k,
+                                             inv_transforms, trunc_cache)
+                   if clever else aggregate_standing_all(t))
             if pts is not None and pts.shape[0] < min_points:
                 pts = None
             if (pts is not None and not use_pseudo_lidar

@@ -75,6 +75,7 @@ def pipeline_config_from(cfg: Config) -> PipelineConfig:
         max_points=int(filt.get("max_points_per_car", 2048)),
         skip_non_visible=bool(opt.get("skip_non_visible_cars", True)),
         use_pseudo_lidar=bool(fc.get("use_pseudo_lidar", True)),
+        use_clever_aggregation=bool(fc.get("use_clever_aggregation", True)),
     )
 
 

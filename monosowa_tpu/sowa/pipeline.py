@@ -60,6 +60,9 @@ class PipelineConfig:
     # enables the evidently intended range check)
     use_pseudo_lidar: bool = True
     strict_hidden_standing: bool = False
+    # frames_creation.use_clever_aggregation: keep-k-closest frame
+    # selection (True, shipped default) vs concat-every-observation
+    use_clever_aggregation: bool = True
     # device-resident window aggregation (sowa/bank.py): when jobs supply
     # per-frame depth maps, keep every candidate's points ON DEVICE as a
     # compacted bank and fit straight from it — the host only tracks
@@ -131,7 +134,8 @@ class PseudoLabeler:
             use_pseudo_lidar=cfg.use_pseudo_lidar,
             max_distance=cfg.candidate.max_distance_pseudo_lidar,
             ref_scan=self._ref_scan(window_frames, get_points),
-            strict_hidden=cfg.strict_hidden_standing)
+            strict_hidden=cfg.strict_hidden_standing,
+            clever=cfg.use_clever_aggregation)
         if not kept:
             return []
 
@@ -378,6 +382,7 @@ class PseudoLabeler:
             # batched TPU calls (sowa/candidates_device.py)
             use_bank = (cfg.device_bank
                         and cfg.use_pseudo_lidar
+                        and cfg.use_clever_aggregation
                         and all("get_depth" in j for j in todo)
                         and cfg.cars_cache_dir is None
                         and not cfg.use_ensemble_filter
@@ -476,7 +481,8 @@ class PseudoLabeler:
                 use_pseudo_lidar=cfg.use_pseudo_lidar,
                 max_distance=cfg.candidate.max_distance_pseudo_lidar,
                 ref_scan=self._ref_scan(window_frames, job["get_points"]),
-                strict_hidden=cfg.strict_hidden_standing)
+                strict_hidden=cfg.strict_hidden_standing,
+                clever=cfg.use_clever_aggregation)
             return dict(job=job, kept=kept, points=points,
                         ref_masks=ref_masks, window=window_frames,
                         slots=None,

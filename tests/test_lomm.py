@@ -159,3 +159,23 @@ def test_candidate_rejects_behind_camera_and_far():
         car_pts, p2, (h, w), [mask], t,
         candidates.CandidateConfig(use_pseudo_lidar=False))
     assert out2["locations"].shape[0] == 0
+
+
+def test_aggregate_standing_all_concats_every_observation():
+    # use_clever_aggregation: False (loader.py:773-781) — no frame
+    # selection, every observation's points are concatenated
+    w = WINDOW
+    transforms = np.tile(np.eye(4), (len(w), 1, 1))
+    frames = list(range(-5, 6))
+    locs = [np.array([0.0, 1.0, 20.0])] * len(frames)
+    pts = [np.full((10, 3), float(f)) for f in frames]
+    masks = [np.ones((4, 4), bool) if f == 0 else None for f in frames]
+    tr = lomm.Track(frames=frames, locations=locs, points=pts, masks=masks)
+    agg = aggregation.aggregate_standing_all(tr)
+    assert agg.shape == (110, 3)
+    kept, points, _ = aggregation.aggregate_tracks(
+        [tr], transforms, w, keep_k=3, min_points=1, clever=False)
+    assert len(kept) == 1 and points[0].shape == (110, 3)
+    kept_c, points_c, _ = aggregation.aggregate_tracks(
+        [tr], transforms, w, keep_k=3, min_points=1, clever=True)
+    assert points_c[0].shape == (30, 3)
