@@ -50,7 +50,15 @@ def _load_reference_dataset_cls():
         sys.modules["torchvision.transforms"] = tv.transforms
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
-    from lib.datasets.kitti.kitti_dataset import KITTI_Dataset
+    try:
+        from lib.datasets.kitti.kitti_dataset import KITTI_Dataset
+    finally:
+        # the reference tree also has a top-level tools/ package; leaving
+        # REF_ROOT on sys.path makes later `import tools.train_val`
+        # resolve to the REFERENCE's trainer (imported modules stay
+        # cached under lib.*, which nothing else claims)
+        if REF_ROOT in sys.path:
+            sys.path.remove(REF_ROOT)
     return KITTI_Dataset
 
 

@@ -1,0 +1,82 @@
+"""Ablation profile of the MonoDETR train step on the current device.
+
+Times the full production step and a set of one-change-at-a-time ablations
+so the dominant stage is identified by subtraction (the axon tunnel's
+profiler is unavailable; host-pull timing is the only trustworthy sync).
+
+Usage: python tools/profile_train_step.py [batch] [iters] [ablation ...]
+Ablations (default: all): full, no_enc, dec1, enc1, no_groups, f32, fwd
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import numpy as np
+
+
+def time_step(model, batch, iters, fwd_only=False):
+    from monosowa_tpu.train.optim import make_optimizer
+    from monosowa_tpu.train.trainer import (init_state, make_eval_step,
+                                            make_train_step)
+
+    tx = make_optimizer(base_lr=2e-4, steps_per_epoch=100)
+    state = init_state(model, tx,
+                       {k: np.asarray(v) for k, v in batch.items()})
+    step = make_eval_step(model) if fwd_only else make_train_step(model)
+    rng = jax.random.PRNGKey(0)
+
+    def run():
+        if fwd_only:
+            out = step(state, batch)
+            return float(np.asarray(out).sum())
+        s2, losses = step(state, batch, rng)
+        return float(losses["loss_total"])
+
+    t0 = time.perf_counter()
+    run()
+    compile_s = time.perf_counter() - t0
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)), compile_s
+
+
+def main():
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    only = set(sys.argv[3:])
+
+    import __graft_entry__ as ge
+    from monosowa_tpu.models.monodetr import MonoDETR
+
+    batch = ge._sample_batch(batch_size, 384, 1280)
+    cases = {
+        "full": MonoDETR(),
+        "no_enc": MonoDETR(enc_layers=0),
+        "enc1": MonoDETR(enc_layers=1),
+        "dec1": MonoDETR(dec_layers=1),
+        "no_groups": MonoDETR(group_num=1),
+        "f32": MonoDETR(compute_dtype="float32"),
+        "fwd": MonoDETR(),
+    }
+    base = None
+    for name, model in cases.items():
+        if only and name not in only:
+            continue
+        dt, compile_s = time_step(model, batch, iters,
+                                  fwd_only=(name == "fwd"))
+        delta = "" if base is None else f"  (full - this = {base - dt:+.3f}s)"
+        if name == "full":
+            base = dt
+        print(f"{name:10s}: {dt:.3f} s/step  [compile {compile_s:.0f}s]"
+              f"{delta}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
