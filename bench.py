@@ -169,12 +169,10 @@ def main():
     import jax
 
     # persistent compile cache: end-of-round driver runs (and retries) skip
-    # the multi-minute remote compile
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    # the multi-minute remote compile; machine-keyed (utils/jaxcache.py) so
+    # a VM migration can't feed stale XLA:CPU machine code (SIGABRT)
+    from monosowa_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache("/tmp/jax_cache")
 
     only = os.environ.get("BENCH_ONLY", "")
     suite = {"fit": bench_fit, "e2e": bench_e2e, "train": bench_train}

@@ -17,7 +17,13 @@ Behavioral contract (pseudo_label_generator/3d/scripts/loader.py):
 
 This stage is tiny, sequential, and data-dependent (tens of candidates over
 ~61 frames) — it runs on host in numpy and feeds padded arrays to the TPU
-fitting kernels.
+fitting kernels.  Measured: track+classify for a 13-frame/6-car window is
+~1.7 ms on this image's single core — ~0.1% of a full-size frame budget at
+10 frames/s — while a device port would add a host->device->host round trip
+(~150 ms each way on the measurement tunnel) or force the slot selection
+(data-dependent list building, sowa/bank.py) into fixed-cap device code for
+no throughput gain.  In bank mode (sowa/bank.py) everything per-POINT is
+already device-resident; only (K, 3) centers cross the boundary.
 """
 
 from __future__ import annotations

@@ -22,13 +22,17 @@ jax.config.update("jax_platforms", "cpu")
 # Persistent compilation cache: XLA-CPU compiles dominate the suite's wall
 # clock (train-step/MSDA tests compile for minutes); caching them across
 # runs cuts repeat-suite time several-fold on this single-core image.
-_cache_dir = os.environ.get("MONOSOWA_TEST_JAX_CACHE",
-                            "/tmp/monosowa_jax_test_cache")
-try:
-    jax.config.update("jax_compilation_cache_dir", _cache_dir)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
-    # NOTE: do not enable jax_persistent_cache_enable_xla_caches="all" —
-    # shared XLA:CPU AOT kernel entries abort (SIGABRT) when the recorded
-    # machine features disagree with the loading process
-except Exception:
-    pass
+# The directory is keyed by a host-CPU fingerprint: cached XLA:CPU
+# executables embed machine code and SIGABRT at execution time when the
+# image migrates VMs between sessions (utils/jaxcache.py).
+import sys  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from monosowa_tpu.utils.jaxcache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(
+    os.environ.get("MONOSOWA_TEST_JAX_CACHE", "/tmp/monosowa_jax_test_cache"),
+    min_compile_secs=0.5)
+# NOTE: do not enable jax_persistent_cache_enable_xla_caches="all" —
+# shared XLA:CPU AOT kernel entries abort (SIGABRT) when the recorded
+# machine features disagree with the loading process

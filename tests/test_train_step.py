@@ -9,8 +9,11 @@ import pytest
 def test_dryrun_multichip_8(monkeypatch):
     # run the child path IN-PROCESS: pytest already forces the 8-device
     # virtual CPU mesh (conftest) and holds the warm compile cache; the
-    # driver exercises the subprocess-spawning wrapper separately
+    # driver exercises the subprocess-spawning wrapper separately, at the
+    # PRODUCTION config (this test uses the tiny preset — the production
+    # XLA-CPU compile alone is ~10 min of suite wall clock)
     monkeypatch.setenv("_MONOSOWA_DRYRUN_CHILD", "1")
+    monkeypatch.setenv("MONOSOWA_DRYRUN_PRESET", "tiny")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 

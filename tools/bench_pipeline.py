@@ -87,12 +87,8 @@ def make_sequence(n_frames=8, window=6, seed=0):
 def run(n_frames=8, do_profile=False, quiet=False):
     """Times label_frames over ``n_frames`` full-size frames; returns
     steady-state frames/s (after a same-shape compile warmup)."""
-    import jax
-    try:
-        jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
-        pass
+    from monosowa_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache("/tmp/jax_cache")
     from monosowa_tpu.sowa import pipeline
     from monosowa_tpu.sowa.fitting import FitConfig
 
