@@ -59,12 +59,12 @@ class DepthEncoderLayer(nn.Module):
                                   name="self_attn")(
             q, k, src, deterministic=deterministic)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         ff = nn.Dense(self.dim_feedforward, dtype=self.dtype)(src)
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(self.d_model, dtype=self.dtype)(ff)
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
 
 
 class DepthPredictor(nn.Module):
@@ -85,7 +85,7 @@ class DepthPredictor(nn.Module):
         h16, w16 = f16.shape[1], f16.shape[2]
 
         def gn(x):
-            return nn.GroupNorm(num_groups=32)(x)
+            return nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
 
         src16 = gn(nn.Conv(self.d_model, (1, 1), dtype=self.dtype,
                            name="proj")(f16))
@@ -100,10 +100,10 @@ class DepthPredictor(nn.Module):
 
         y = nn.Conv(self.d_model, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="head1")(src)
-        y = nn.relu(nn.GroupNorm(num_groups=32)(y))
+        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5)(y))
         y = nn.Conv(self.d_model, (3, 3), padding=((1, 1), (1, 1)),
                     dtype=self.dtype, name="head2")(y)
-        y = nn.relu(nn.GroupNorm(num_groups=32)(y))
+        y = nn.relu(nn.GroupNorm(num_groups=32, epsilon=1e-5)(y))
 
         # classifier logits in f32 (feeds the DDN focal loss + softmax)
         depth_logits = nn.Conv(self.num_depth_bins + 1, (1, 1),

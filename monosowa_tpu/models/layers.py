@@ -123,7 +123,7 @@ class GroupNorm32(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        return nn.GroupNorm(num_groups=32)(x)
+        return nn.GroupNorm(num_groups=32, epsilon=1e-5)(x)
 
 
 def xavier_uniform_init() -> Callable:

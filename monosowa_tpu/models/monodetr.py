@@ -112,11 +112,11 @@ class MonoDETR(nn.Module):
         for i, f in enumerate(feats):
             y = nn.Conv(self.d_model, (1, 1), dtype=dtype,
                         name=f"input_proj{i}")(f)
-            srcs.append(nn.GroupNorm(num_groups=32)(y))
+            srcs.append(nn.GroupNorm(num_groups=32, epsilon=1e-5)(y))
         y = nn.Conv(self.d_model, (3, 3), strides=(2, 2),
                     padding=((1, 1), (1, 1)), dtype=dtype,
                     name="input_proj3")(feats[-1])
-        srcs.append(nn.GroupNorm(num_groups=32)(y))
+        srcs.append(nn.GroupNorm(num_groups=32, epsilon=1e-5)(y))
 
         spatial_shapes = tuple((s.shape[1], s.shape[2]) for s in srcs)
         if self.position_embedding == "learned":
@@ -161,7 +161,7 @@ class MonoDETR(nn.Module):
             # tokens propose 6-dof boxes; top-k by class score seed the
             # decoder queries and reference points.
             proposals = _encoder_proposals(spatial_shapes)         # (S, 6)
-            enc_mem = nn.LayerNorm(name="enc_output_norm")(
+            enc_mem = nn.LayerNorm(epsilon=1e-5, name="enc_output_norm")(
                 nn.Dense(self.d_model, name="enc_output")(memory))
             enc_logits = nn.Dense(self.num_classes,
                                   bias_init=_focal_bias_init(),
@@ -181,7 +181,7 @@ class MonoDETR(nn.Module):
                  top_unact[..., 2:3] + top_unact[..., 3:4],
                  top_unact[..., 4:5] + top_unact[..., 5:6]], -1)
             sine = _proposal_pos_embed(pos4, self.d_model // 2)
-            trans = nn.LayerNorm(name="pos_trans_norm")(
+            trans = nn.LayerNorm(epsilon=1e-5, name="pos_trans_norm")(
                 nn.Dense(2 * self.d_model, name="pos_trans")(sine))
             query_pos = trans[..., :self.d_model]
             tgt = trans[..., self.d_model:]

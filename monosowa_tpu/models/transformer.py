@@ -140,12 +140,12 @@ class VisualEncoderLayer(nn.Module):
                                   dtype=self.dtype, name="self_attn")(
             src + pos, reference_points, src, spatial_shapes)
         src = src + nn.Dropout(self.dropout)(attn, deterministic=deterministic)
-        src = nn.LayerNorm(name="norm1")(src)
+        src = nn.LayerNorm(epsilon=1e-5, name="norm1")(src)
         ff = nn.Dense(self.d_ffn, dtype=self.dtype)(src)
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(self.d_model, dtype=self.dtype)(ff)
         src = src + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(name="norm2")(src)
+        return nn.LayerNorm(epsilon=1e-5, name="norm2")(src)
 
 
 def encoder_reference_points(spatial_shapes: Sequence[Tuple[int, int]]
@@ -208,7 +208,7 @@ class DepthAwareDecoderLayer(nn.Module):
             tgt, depth_embed_seq, depth_embed_seq, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(d_attn,
                                              deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm_depth")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm_depth")(tgt)
 
         # --- group-wise self-attention ---------------------------------
         qk = tgt + query_pos
@@ -250,7 +250,7 @@ class DepthAwareDecoderLayer(nn.Module):
                 q_in, k_in, v_in, deterministic=deterministic)
         tgt = tgt + nn.Dropout(self.dropout)(s_attn,
                                              deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm2")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm2")(tgt)
 
         # --- deformable cross-attention --------------------------------
         c_attn = MSDeformAttnModule(self.d_model, self.n_levels, self.n_heads,
@@ -259,11 +259,11 @@ class DepthAwareDecoderLayer(nn.Module):
             tgt + query_pos, reference_points, src, spatial_shapes)
         tgt = tgt + nn.Dropout(self.dropout)(c_attn,
                                              deterministic=deterministic)
-        tgt = nn.LayerNorm(name="norm1")(tgt)
+        tgt = nn.LayerNorm(epsilon=1e-5, name="norm1")(tgt)
 
         # --- FFN -------------------------------------------------------
         ff = nn.Dense(self.d_ffn, dtype=self.dtype, name="linear1")(tgt)
         ff = nn.Dropout(self.dropout)(nn.relu(ff), deterministic=deterministic)
         ff = nn.Dense(self.d_model, dtype=self.dtype, name="linear2")(ff)
         tgt = tgt + nn.Dropout(self.dropout)(ff, deterministic=deterministic)
-        return nn.LayerNorm(name="norm3")(tgt)
+        return nn.LayerNorm(epsilon=1e-5, name="norm3")(tgt)
