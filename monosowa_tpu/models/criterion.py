@@ -198,12 +198,17 @@ def ddn_depth_map_loss(depth_logits: jnp.ndarray, targets: Targets,
 
     xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
     ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    # (B, M, H, W) coverage
+    # (B, M, H, W) coverage.  The reference paints depth_maps[v1:v2, u1:u2]
+    # with raw long() corners (ddn_loss.py:47-64, balancer.py:69-80): a box
+    # whose floored u1/v1 is negative yields an EMPTY torch slice and is
+    # silently not painted at all — replicated here (clip_2d defaults off,
+    # so partially-out-of-frame boxes do reach this loss).
+    inb = (x1 >= 0) & (y1 >= 0)
     cover = ((xs[None, None] >= x1[..., None, None])
              & (xs[None, None] < x2[..., None, None])
              & (ys[None, None] >= y1[..., None, None])
              & (ys[None, None] < y2[..., None, None])
-             & targets.valid[..., None, None])
+             & (targets.valid & inb)[..., None, None])
     depth_or_inf = jnp.where(cover, targets.depth[..., None, None], jnp.inf)
     gt_depth = jnp.min(depth_or_inf, axis=1)          # (B, H, W)
     fg = jnp.isfinite(gt_depth)
