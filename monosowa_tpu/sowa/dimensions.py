@@ -111,7 +111,10 @@ def estimate_dimensions_one(points: jnp.ndarray, mask: jnp.ndarray,
     ext1 = jnp.where(long_first, ext_xz[1], ext_xz[0])
     theta_long = jnp.where(long_first, theta, theta + jnp.pi / 2)
 
-    angle_of_car = -theta_long - jnp.pi / 2.0
+    # the reference's OBB angle is the NEGATED 2D long-axis angle
+    # (get_3D_bbox: angle = -arctan2(ez, ex)), so angle_of_car =
+    # -angle - pi/2 = theta_long - pi/2 in our scan coordinates
+    angle_of_car = theta_long - jnp.pi / 2.0
     viewing = jnp.arctan2(center[2], center[0]) - jnp.pi / 2.0
     diff = angle_of_car - viewing
 
@@ -125,7 +128,9 @@ def estimate_dimensions_one(points: jnp.ndarray, mask: jnp.ndarray,
                                jnp.where(ext0 > 2.5, degen_width,
                                          degen_weird),
                                normal))
-    return dims, theta_long - jnp.pi / 2.0
+    # est_theta convention = reference angle - pi/2 (estimate_dimensions
+    # est_theta branch) with angle = -theta_long
+    return dims, -theta_long - jnp.pi / 2.0
 
 
 def estimate_car_dimensions(frames_points, frames_masks, center,
