@@ -18,6 +18,20 @@ TPU design: the whole scale grid is one vmapped exact-TFL evaluation
 (chunked); the template bank is pre-posed per (model, length, width) so
 poses share the MXU distance matrices.  Off by default
 (use_scale_detector False, configs/config.yaml:90) like the reference.
+
+DOCUMENTED DEVIATION: the reference's KITTI scale branch
+(optimizer.py:438-463 get_template(scale=True)) applies
+``[:, 0] *= scale_length; [:, 1] *= scale_width; [:, 2] *= scale_height``
+to camera-frame templates whose axes are x=width (1.63 m extent),
+y=height (1.53), z=length (3.88) — i.e. its "length" scale varies the
+car's WIDTH, its height-extent-derived scale varies the LENGTH, and the
+"width" scale (a no-op [1.0] in the shipped config) would vary the
+HEIGHT; `lidar_car_template_scale` is the same list as the main
+templates (loader.py:3498).  This rebuild scales the geometrically
+intended axes instead: width*x, height*y, length*z.  No differential
+test is possible against the swapped-axis code without reproducing the
+bug; the loss machinery underneath is the same binary2way TFL already
+reference-parity-tested in tests/test_reference_fit_parity.py.
 """
 
 from __future__ import annotations
