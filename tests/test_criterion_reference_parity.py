@@ -30,22 +30,8 @@ DH, DW, NBINS = 24, 80, 80     # loss_depth_map hardcodes the 80x24 grid
 
 
 def _stub_torchvision():
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.__version__ = "0.15.0"
-        tv._is_tracing = lambda: False
-        tv.ops = types.ModuleType("torchvision.ops")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv.ops
-    tv = sys.modules["torchvision"]
-    if "torchvision.ops.boxes" not in sys.modules:
-        bm = types.ModuleType("torchvision.ops.boxes")
-        bm.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-        tv.ops.boxes = bm
-        sys.modules["torchvision.ops.boxes"] = bm
-    if "torchvision.ops.misc" not in sys.modules:
-        sys.modules["torchvision.ops.misc"] = types.ModuleType(
-            "torchvision.ops.misc")
+    import torchvision_stub
+    torchvision_stub.install()
 
 
 def _neutralize_cuda():

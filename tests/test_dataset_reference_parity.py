@@ -42,12 +42,10 @@ def _load_reference_dataset_cls():
                 mod.get_distance_eval_result = None
             sys.modules[name] = mod
     # pd.py's `from torchvision import transforms` is a dead import (the
-    # name only appears in a docstring); torchvision isn't in the image
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.transforms = types.ModuleType("torchvision.transforms")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.transforms"] = tv.transforms
+    # name only appears in a docstring); torchvision isn't in the image —
+    # the shared ADDITIVE stub also fixes up stubs other tests installed
+    import torchvision_stub
+    torchvision_stub.install()
     if REF_ROOT not in sys.path:
         sys.path.insert(0, REF_ROOT)
     try:

@@ -15,7 +15,6 @@ lib/datasets/kitti/kitti_utils.py:137-280.
 
 import importlib.util
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -37,22 +36,8 @@ Tr_imu_to_velo: 0.9999 0.0075 -0.0014 -0.8086 -0.0075 0.9999 -0.0004 0.3195 0.00
 
 
 def _stub_torchvision():
-    if "torchvision" not in sys.modules:
-        tv = types.ModuleType("torchvision")
-        tv.__version__ = "0.15.0"
-        tv._is_tracing = lambda: False
-        tv.ops = types.ModuleType("torchvision.ops")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv.ops
-    tv = sys.modules["torchvision"]
-    if "torchvision.ops.boxes" not in sys.modules:
-        bm = types.ModuleType("torchvision.ops.boxes")
-        bm.box_area = lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-        tv.ops.boxes = bm
-        sys.modules["torchvision.ops.boxes"] = bm
-    if "torchvision.ops.misc" not in sys.modules:
-        sys.modules["torchvision.ops.misc"] = types.ModuleType(
-            "torchvision.ops.misc")
+    import torchvision_stub
+    torchvision_stub.install()
 
 
 def _load_ref(relpath, name):

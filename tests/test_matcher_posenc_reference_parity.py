@@ -8,7 +8,6 @@ position_encoding.py:20-99, utils/box_ops.py.
 
 import importlib.util
 import sys
-import types
 
 import numpy as np
 import pytest
@@ -20,29 +19,8 @@ REF_ROOT = "/root/reference/MonoDETR"
 
 
 def _stub_torchvision():
-    if "torchvision" in sys.modules and hasattr(sys.modules["torchvision"],
-                                                "ops"):
-        tv = sys.modules["torchvision"]
-    else:
-        tv = types.ModuleType("torchvision")
-        tv.__version__ = "0.15.0"
-        tv._is_tracing = lambda: False
-        tv.ops = types.ModuleType("torchvision.ops")
-        sys.modules["torchvision"] = tv
-        sys.modules["torchvision.ops"] = tv.ops
-    if not hasattr(tv.ops, "boxes"):
-        boxes_mod = types.ModuleType("torchvision.ops.boxes")
-
-        def box_area(b):
-            return (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
-
-        boxes_mod.box_area = box_area
-        tv.ops.boxes = boxes_mod
-        sys.modules["torchvision.ops.boxes"] = boxes_mod
-    if "torchvision.ops.misc" not in sys.modules:
-        m = types.ModuleType("torchvision.ops.misc")
-        sys.modules["torchvision.ops.misc"] = m
-        tv.ops.misc = m
+    import torchvision_stub
+    torchvision_stub.install()
 
 
 def _load(name):

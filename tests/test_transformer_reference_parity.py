@@ -35,16 +35,8 @@ REF_ROOT = "/root/reference/MonoDETR"
 
 
 def _stub_torchvision():
-    if "torchvision" in sys.modules:
-        return
-    tv = types.ModuleType("torchvision")
-    tv.__version__ = "0.15.0"
-    tv._is_tracing = lambda: False
-    tv.ops = types.ModuleType("torchvision.ops")
-    tv.ops.misc = types.ModuleType("torchvision.ops.misc")
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.ops"] = tv.ops
-    sys.modules["torchvision.ops.misc"] = tv.ops.misc
+    import torchvision_stub
+    torchvision_stub.install()
 
 
 def _load_reference_transformer():
