@@ -7,13 +7,17 @@ import pytest
 
 
 def test_dryrun_multichip_8(monkeypatch):
-    # run the child path IN-PROCESS: pytest already forces the 8-device
-    # virtual CPU mesh (conftest) and holds the warm compile cache; the
-    # driver exercises the subprocess-spawning wrapper separately, at the
-    # PRODUCTION config (this test uses the tiny preset — the production
-    # XLA-CPU compile alone is ~10 min of suite wall clock)
-    monkeypatch.setenv("_MONOSOWA_DRYRUN_CHILD", "1")
+    # run via the SPAWN path (a fresh interpreter, exactly how the driver
+    # invokes it) at the tiny preset — the production XLA-CPU compile
+    # alone is ~10 min of suite wall clock.  The in-process variant
+    # intermittently SIGABRTed inside XLA:CPU when run late in a
+    # ~250-test session (fine standalone); a child process is immune to
+    # accumulated runtime state.  MONOSOWA_DRYRUN_CACHE lets the child
+    # reuse the machine-keyed persistent cache so repeat suites stay
+    # fast; the driver's own invocation stays cache-free.
+    monkeypatch.delenv("_MONOSOWA_DRYRUN_CHILD", raising=False)
     monkeypatch.setenv("MONOSOWA_DRYRUN_PRESET", "tiny")
+    monkeypatch.setenv("MONOSOWA_DRYRUN_CACHE", "1")
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
 
