@@ -165,7 +165,36 @@ def bench_train():
            "single-GPU train.log, 60 min/epoch incl. val)"), 1.0)
 
 
+def _probe_platform(timeout_s: float = 240.0) -> str:
+    """Initialize jax in a CHILD with a hard timeout.
+
+    When the axon relay is down, ``jax.devices()`` blocks forever with no
+    error (observed: >7 h); a hung bench would stall the driver's
+    round-end sequence.  Probing in a subprocess bounds the damage — on
+    timeout we exit nonzero immediately with a clear message.
+    """
+    import subprocess
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print("# bench ABORT: jax platform init hung "
+              f"(> {timeout_s:.0f}s) — measurement tunnel down?",
+              file=sys.stderr, flush=True)
+        sys.exit(3)
+    if out.returncode != 0:
+        print(f"# bench ABORT: jax init failed: {out.stderr.strip()[-500:]}",
+              file=sys.stderr, flush=True)
+        sys.exit(3)
+    return out.stdout.strip()
+
+
 def main():
+    platform = _probe_platform()
+    print(f"# bench platform: {platform}", file=sys.stderr)
+
     import jax
 
     # persistent compile cache: end-of-round driver runs (and retries) skip
