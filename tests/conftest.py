@@ -11,8 +11,16 @@ import os
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+# Cap the CPU ISA: on AVX-512 hosts XLA:CPU appends synthetic
+# "+prefer-no-scatter,+prefer-no-gather" target features to its AOT
+# executables; the persistent-cache loader's host-feature check doesn't
+# know them and warns — or SIGABRTs — when reloading entries THIS SAME
+# machine wrote.  AVX2 codegen records no synthetic features, making the
+# cache self-consistent (correctness tests don't need AVX-512 speed).
+if "xla_cpu_max_isa" not in flags:
+    flags = (flags + " --xla_cpu_max_isa=AVX2").strip()
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402
