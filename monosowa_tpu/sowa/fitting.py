@@ -46,11 +46,18 @@ class FitConfig:
     moving_dz_shift: float = 1.0  # optimize_moving shifts the z range by +1
     fine_chunk: int = 24          # theta chunking for the exact fine pass
     # the conv-grid coarse loss is a field-quantized approximation; re-score
-    # the top-K candidate translations with the EXACT binary loss over the
-    # coarse theta set before the fine pass (0 disables).  Aligns the
-    # selected cell with the reference's exact-loss grid argmin
-    # (optimizer.py:53-93) at negligible cost vs the fine pass.
+    # the top-K candidate translations with the EXACT binary loss before the
+    # fine pass (0 disables).  Aligns the selected cell with the reference's
+    # exact-loss grid argmin (optimizer.py:53-93) at negligible cost vs the
+    # fine pass.
     exact_topk: int = 8
+    # exact losses are evaluated at each candidate's conv-argmin theta row
+    # +- this many rows (the conv kernels are exact per-theta rotations —
+    # only the translation axis is voxel-quantized, so theta ranking within
+    # a translation is already trustworthy; +-2 rows = +-18 deg at nt=40).
+    # The standing-car theta itself always comes from the exact 360-step
+    # fine pass.  Set >= n_theta//2 for the full theta set.
+    rescore_theta_window: int = 2
 
 
 class FitResult(NamedTuple):
@@ -292,41 +299,115 @@ def _coarse_thetas(nt: int) -> jnp.ndarray:
                                    dtype=np.float32))
 
 
-def _exact_rescore_translations(scan_local, scan_mask, template, losses,
-                                trans, thetas, cfg: FitConfig, pitch,
-                                fixed_theta=None):
-    """Pick the best translation by EXACT binary loss among the conv grid's
-    top-K candidates (per-translation min over theta rows), then refine at
-    half-pitch around the winner — the conv lattice is voxel-aligned, so
-    sub-cell refinement recovers the accuracy of the reference's
-    continuous linspace grid (optimizer.py:71-75) and better.
+def _exact_losses_at(scan_local, scan_mask, template, trans_set, theta_set,
+                     radius):
+    """Exact binary2way TFL over an explicit pose set in ONE dispatch.
 
-    ``fixed_theta``: when set (moving cars with a trajectory angle), exact
-    losses are evaluated at that single theta instead of the coarse set.
-    Returns (t_best (3,), theta_losses_at_best (n_theta,))."""
+    trans_set (N, 3); theta_set (N, Wn) per-translation thetas ->
+    (N, Wn).  The pose count here is small (top-K x theta window), so the
+    whole set is one fused distance sweep instead of a serialized
+    lax.map per translation."""
+    n, wn = theta_set.shape
+    rot = rot_y(theta_set.reshape(-1))                  # (N*Wn, 3, 3)
+    posed = jnp.einsum("tj,cij->cti", template, rot) \
+        + jnp.repeat(trans_set, wn, axis=0)[:, None]
+    losses = tfl.binary_both_way_loss(scan_local, scan_mask, posed, radius)
+    return losses.reshape(n, wn)
+
+
+def _exact_rescore_translations(scan_local, scan_mask, template, losses,
+                                trans, thetas, cfg: FitConfig, pitch):
+    """Pick the best translation by EXACT binary loss among the conv grid's
+    top-K candidates, then refine at half-pitch around the winner — the conv
+    lattice is voxel-aligned, so sub-cell refinement recovers the accuracy
+    of the reference's continuous linspace grid (optimizer.py:71-75) and
+    better.
+
+    ``losses`` (nt, G) are the conv losses with fixed-theta row masking
+    already applied; ``thetas`` (nt,) are the PER-ROW theta values (a
+    broadcast constant for moving cars with a trajectory angle).  Exact
+    losses are evaluated in a +-rescore_theta_window row window around each
+    candidate's conv-argmin row (see FitConfig).
+
+    Returns (t_best (3,), theta_best (), loss_best ())."""
+    nt = losses.shape[0]
     per_trans = jnp.min(losses, axis=0)                 # (G,)
     k = min(cfg.exact_topk, per_trans.shape[0])
     _, cand = jax.lax.top_k(-per_trans, k)
     cand_trans = trans[cand]                            # (K, 3)
-    th = (jnp.broadcast_to(fixed_theta, thetas.shape)
-          if fixed_theta is not None else thetas)
+    cand_row = jnp.argmin(losses[:, cand], axis=0)      # (K,)
+    w = min(cfg.rescore_theta_window, (nt - 1) // 2)
+    win = jnp.arange(-w, w + 1)
+    rows = (cand_row[:, None] + win) % nt               # (K, Wn)
+    cand_losses = _exact_losses_at(scan_local, scan_mask, template,
+                                   cand_trans, thetas[rows], cfg.radius)
+    ci = jnp.argmin(jnp.min(cand_losses, axis=1))
+    t0 = cand_trans[ci]
+    row0 = rows[ci, jnp.argmin(cand_losses[ci])]
 
-    def eval_tr(t):
-        return exact_theta_losses(scan_local, scan_mask, template,
-                                  t, th, cfg.radius, cfg.fine_chunk)
-
-    cand_losses = jax.lax.map(eval_tr, cand_trans)      # (K, nt)
-    t0 = cand_trans[jnp.argmin(jnp.min(cand_losses, axis=1))]
-
+    # 3x3 half-pitch refinement: the +-1-pitch lattice neighbours are
+    # already ranked by the conv top-K above; only sub-cell offsets add
+    # information beyond it.
     px, pz = pitch
-    offs = np.array([-1.0, -0.5, 0.0, 0.5, 1.0], np.float32)
+    offs = np.array([-0.5, 0.0, 0.5], np.float32)
     gx, gz = np.meshgrid(offs * px, offs * pz, indexing="ij")
     ref_offs = jnp.asarray(np.stack(
         [gx.reshape(-1), np.zeros(gx.size, np.float32), gz.reshape(-1)], -1))
-    ref_trans = t0 + ref_offs                           # (25, 3)
-    ref_losses = jax.lax.map(eval_tr, ref_trans)        # (25, nt)
+    ref_trans = t0 + ref_offs                           # (9, 3)
+    rrows = jnp.broadcast_to((row0 + win) % nt,
+                             (ref_trans.shape[0], win.shape[0]))
+    ref_losses = _exact_losses_at(scan_local, scan_mask, template,
+                                  ref_trans, thetas[rrows], cfg.radius)
     ri = jnp.argmin(jnp.min(ref_losses, axis=1))
-    return ref_trans[ri], ref_losses[ri]
+    wi = jnp.argmin(ref_losses[ri])
+    return ref_trans[ri], thetas[rrows[ri, wi]], jnp.min(ref_losses)
+
+
+def _fit_one_conv(scan_local, scan_mask, moving, theta_est, theta_valid,
+                  template, occ_k, memb_k, spec, cfg: FitConfig):
+    """Shared per-car conv fit: standing and moving evaluated through ONE
+    grid pass + ONE rescore (the two reference paths, optimize_coarse:53-93
+    and optimize_moving:293-345, differ only in a -moving_dz_shift scan
+    shift and the theta policy — merged branchlessly with jnp.where so the
+    batched path does half the work of running both).
+
+    Returns (x, z, theta, loss) as pose offsets in the local frame."""
+    shift = jnp.where(moving, cfg.moving_dz_shift, 0.0)
+    local_eff = scan_local - jnp.stack(
+        [jnp.float32(0.0), jnp.float32(0.0), shift])
+    trans = jnp.asarray(tfl.conv_translations(spec))
+    losses = tfl.grid_pose_losses_conv(local_eff, scan_mask, occ_k, memb_k,
+                                       spec, template.shape[0])
+    nt = losses.shape[0]
+    thetas_grid = _coarse_thetas(nt)
+    # with a reliable trajectory angle only the nearest-theta kernel row
+    # competes and the output theta is the exact trajectory estimate
+    fixed = moving & theta_valid
+    row = jnp.round(theta_est / (2 * jnp.pi / nt)).astype(jnp.int32) % nt
+    row_mask = (jnp.arange(nt) == row) | ~fixed
+    masked = jnp.where(row_mask[:, None], losses, jnp.inf)
+    th_set = jnp.where(fixed,
+                       jnp.broadcast_to(theta_est, thetas_grid.shape),
+                       thetas_grid)
+    if cfg.exact_topk > 0:
+        pitch = ((spec.dx_max - spec.dx_min) / (spec.n_dx - 1),
+                 (spec.dz_max - spec.dz_min) / (spec.n_dz - 1))
+        t_best, th_best, loss_best = _exact_rescore_translations(
+            local_eff, scan_mask, template, masked, trans, th_set, cfg,
+            pitch)
+    else:
+        flat = masked.reshape(-1)
+        best = jnp.argmin(flat)
+        t_best = trans[best % trans.shape[0]]
+        th_best = th_set[best // trans.shape[0]]
+        loss_best = flat[best]
+
+    fine = exact_theta_losses(local_eff, scan_mask, template, t_best,
+                              _fine_thetas(cfg), cfg.radius, cfg.fine_chunk)
+    theta = jnp.where(moving, th_best,
+                      _plateau_theta(_fine_thetas(cfg), fine))
+    loss = jnp.where(moving, loss_best, jnp.min(fine))
+    return t_best[0], t_best[2] + shift, theta, loss
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec"))
@@ -335,25 +416,10 @@ def fit_standing_car_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
                           memb_k: jnp.ndarray, spec,
                           cfg: FitConfig = FitConfig()) -> FitResult:
     """Coarse grid via the conv kernels + exact fine theta pass."""
-    trans = jnp.asarray(tfl.conv_translations(spec))
-    losses = tfl.grid_pose_losses_conv(scan_local, scan_mask, occ_k, memb_k,
-                                       spec, template.shape[0])
-    if cfg.exact_topk > 0:
-        pitch = ((spec.dx_max - spec.dx_min) / (spec.n_dx - 1),
-                 (spec.dz_max - spec.dz_min) / (spec.n_dz - 1))
-        t_best, _ = _exact_rescore_translations(
-            scan_local, scan_mask, template, losses, trans,
-            _coarse_thetas(losses.shape[0]), cfg, pitch)
-    else:
-        flat = losses.reshape(-1)
-        best = jnp.argmin(flat)
-        t_best = trans[best % trans.shape[0]]
-
-    fine = exact_theta_losses(scan_local, scan_mask, template, t_best,
-                              _fine_thetas(cfg), cfg.radius, cfg.fine_chunk)
-    return FitResult(x=t_best[0], y=jnp.float32(0.0), z=t_best[2],
-                     theta=_plateau_theta(_fine_thetas(cfg), fine),
-                     loss=jnp.min(fine))
+    x, z, theta, loss = _fit_one_conv(
+        scan_local, scan_mask, jnp.asarray(False), jnp.float32(0.0),
+        jnp.asarray(False), template, occ_k, memb_k, spec, cfg)
+    return FitResult(x=x, y=jnp.float32(0.0), z=z, theta=theta, loss=loss)
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec"))
@@ -363,44 +429,13 @@ def fit_moving_car_conv(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
                         theta_est: jnp.ndarray, theta_valid: jnp.ndarray,
                         cfg: FitConfig = FitConfig()) -> FitResult:
     """Moving car on the conv grid: the scan shifts by -moving_dz_shift so
-    the shifted translation range stays lattice-aligned; with a reliable
-    trajectory angle only the nearest-theta kernel row competes and the
-    output theta is the exact trajectory estimate (optimize_moving
-    semantics: theta fixed, translation searched)."""
-    trans = jnp.asarray(tfl.conv_translations(spec))
-    shifted = scan_local - jnp.asarray([0.0, 0.0, cfg.moving_dz_shift])
-    losses = tfl.grid_pose_losses_conv(shifted, scan_mask, occ_k, memb_k,
-                                       spec, template.shape[0])
-    nt = losses.shape[0]
-    row = jnp.round(theta_est / (2 * jnp.pi / nt)).astype(jnp.int32) % nt
-    row_mask = (jnp.arange(nt) == row) | ~theta_valid
-    masked = jnp.where(row_mask[:, None], losses, jnp.inf)
-    thetas_grid = _coarse_thetas(nt)
-    if cfg.exact_topk > 0:
-        # exact re-score + half-pitch refinement of the conv grid's top-K
-        # translations: at the trajectory theta when available, over the
-        # coarse theta set otherwise (same policy as the standing path)
-        th_set = jnp.where(theta_valid,
-                           jnp.broadcast_to(theta_est, thetas_grid.shape),
-                           thetas_grid)
-        pitch = ((spec.dx_max - spec.dx_min) / (spec.n_dx - 1),
-                 (spec.dz_max - spec.dz_min) / (spec.n_dz - 1))
-        t_best, best_losses = _exact_rescore_translations(
-            shifted, scan_mask, template, masked, trans, th_set, cfg,
-            pitch, fixed_theta=None)
-        ti = jnp.argmin(best_losses)
-        theta = jnp.where(theta_valid, theta_est, th_set[ti])
-        return FitResult(x=t_best[0], y=jnp.float32(0.0),
-                         z=t_best[2] + cfg.moving_dz_shift,
-                         theta=theta, loss=jnp.min(best_losses))
-    flat = masked.reshape(-1)
-    best = jnp.argmin(flat)
-    bi_theta = best // trans.shape[0]
-    bi_trans = best % trans.shape[0]
-    theta = jnp.where(theta_valid, theta_est, thetas_grid[bi_theta])
-    return FitResult(x=trans[bi_trans, 0], y=jnp.float32(0.0),
-                     z=trans[bi_trans, 2] + cfg.moving_dz_shift,
-                     theta=theta, loss=flat[best])
+    the shifted translation range stays lattice-aligned (optimize_moving
+    semantics: theta fixed from the trajectory when available, translation
+    searched)."""
+    x, z, theta, loss = _fit_one_conv(
+        scan_local, scan_mask, jnp.asarray(True), theta_est, theta_valid,
+        template, occ_k, memb_k, spec, cfg)
+    return FitResult(x=x, y=jnp.float32(0.0), z=z, theta=theta, loss=loss)
 
 
 @partial(jax.jit, static_argnames=("cfg", "spec"))
@@ -412,14 +447,10 @@ def fit_cars_conv(batch: CarBatch, template: jnp.ndarray,
     def fit_one(points, mask, moving, theta_est, theta_valid):
         center = masked_median(points, mask)
         local = points - center
-        standing = fit_standing_car_conv(local, mask, template, occ_k,
-                                         memb_k, spec, cfg)
-        mov = fit_moving_car_conv(local, mask, template, occ_k, memb_k,
-                                  spec, theta_est, theta_valid, cfg)
-        pick = lambda a, b: jnp.where(moving, b, a)
-        return (pick(standing.x, mov.x), pick(standing.z, mov.z),
-                pick(standing.theta, mov.theta), pick(standing.loss, mov.loss),
-                center)
+        x, z, theta, loss = _fit_one_conv(
+            local, mask, moving, theta_est, theta_valid,
+            template, occ_k, memb_k, spec, cfg)
+        return x, z, theta, loss, center
 
     xs, zs, thetas, losses, centers = jax.vmap(fit_one)(
         batch.points, batch.mask, batch.moving, batch.theta_est,
