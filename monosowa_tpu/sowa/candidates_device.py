@@ -37,6 +37,9 @@ from monosowa_tpu.sowa.candidates import CandidateConfig
 
 K_MAX = 40          # erosion-depth cap (see module docstring)
 N_BISECT = 18       # median bisection steps (~300 m / 2^18 = 1.1 mm)
+# fixed-point depth transport: 300 m (the reference's metric3d clamp) over
+# the uint16 range = 4.58 mm quantum, 2.29 mm max round-to-nearest error
+DEPTH_U16_SCALE = 300.0 / 65536.0
 
 
 def _unpack_masks(packed: jnp.ndarray, w: int) -> jnp.ndarray:
@@ -121,6 +124,169 @@ def _median3(pts: jnp.ndarray, member: jnp.ndarray) -> jnp.ndarray:
     """pts (..., N, 3), member (..., N) -> (..., 3)."""
     return jnp.stack([_masked_median(pts[..., i], member)
                       for i in range(3)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Bit-packed kernel stages (bank mode)
+#
+# The bank-mode extraction keeps every membership plane as np.packbits-layout
+# uint8 words end to end: the erosion chain, the membership selects and the
+# median bisections then read ~8x less HBM than bool planes, and the
+# compaction routes output slots to pixels with row/byte prefix sums instead
+# of a 466k-wide top_k sort (measured 95 -> ~10 ms per 8-frame chunk).
+# ---------------------------------------------------------------------------
+
+
+def _col_bit_mask(w: int, wb: int, cols) -> np.ndarray:
+    """(WB,) uint8 with the bits of the given pixel COLUMNS set."""
+    out = np.zeros(wb, np.uint8)
+    for c in cols:
+        out[c // 8] |= np.uint8(1 << (7 - (c % 8)))
+    return out
+
+
+def _erode_once_packed(m: jnp.ndarray, first_mask, last_mask) -> jnp.ndarray:
+    """One 4-neighbourhood binary erosion on packed rows (F, M, H, WB)
+    uint8, MSB-first.  Edge replication on all four sides (the reference's
+    binary_dilation border semantics — see _erosion_depth)."""
+    up = jnp.concatenate([m[:, :, 1:], m[:, :, -1:]], 2)
+    dn = jnp.concatenate([m[:, :, :1], m[:, :, :-1]], 2)
+    nxtb = jnp.concatenate([m[..., 1:], jnp.zeros_like(m[..., :1])], -1)
+    prvb = jnp.concatenate([jnp.zeros_like(m[..., :1]), m[..., :-1]], -1)
+    # lf[x] = m[x+1] (replicate at x = W-1); rt[x] = m[x-1] (replicate at 0)
+    lf = ((m << 1) | (nxtb >> 7)) | (m & last_mask)
+    rt = ((m >> 1) | (prvb << 7)) | (m & first_mask)
+    return m & up & dn & lf & rt
+
+
+def _erosion_members_packed(mp: jnp.ndarray, struct: jnp.ndarray, w: int):
+    """mp (F, M, H, WB) packed masks; struct (F, M) int32 erosion depths
+    (>= 1) -> (mem1_p, mems_p): packed planes after 1 and after ``struct``
+    erosion steps (survival is monotone, so these equal the reference's
+    dist>1 / dist>struct tests on the iterated-AND depth map)."""
+    wb = mp.shape[-1]
+    first = jnp.asarray(_col_bit_mask(w, wb, [0]))
+    last = jnp.asarray(_col_bit_mask(w, wb, [w - 1]))
+    cur = _erode_once_packed(mp, first, last)
+    mem1 = cur
+    snap = jnp.where((struct == 1)[..., None, None], cur,
+                     jnp.zeros_like(cur))
+
+    def step(carry, k):
+        cur, snap = carry
+        cur = _erode_once_packed(cur, first, last)
+        snap = jnp.where((struct == k)[..., None, None], cur, snap)
+        return (cur, snap), None
+
+    (_, snap), _ = jax.lax.scan(step, (cur, snap),
+                                jnp.arange(2, K_MAX + 1))
+    return mem1, snap
+
+
+def _popcount_sum(plane: jnp.ndarray) -> jnp.ndarray:
+    """(..., H, WB) packed -> (...,) int32 set-bit count."""
+    return jnp.sum(jax.lax.population_count(plane).astype(jnp.int32),
+                   axis=(-2, -1))
+
+
+def _bits_of(planes: jnp.ndarray) -> jnp.ndarray:
+    """(..., WB) uint8 -> (..., WB*8) bool, np.packbits bit order.  Meant
+    to be generated inside a fused reduction, not materialized."""
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    b = (planes[..., None] >> shifts) & jnp.uint8(1)
+    return b.reshape(planes.shape[:-1] + (planes.shape[-1] * 8,)) != 0
+
+
+def _multi_median_packed(vals: jnp.ndarray, planes: jnp.ndarray
+                         ) -> jnp.ndarray:
+    """np.median over packed member planes, all (plane, coord) bisections
+    fused in one loop.
+
+    vals (F, H, Wp, C) padded per-pixel values; planes (P, F, M, H, WB)
+    packed members -> (P, F, M, C) medians (same semantics/resolution as
+    _masked_median)."""
+    v = vals[None, :, None]                         # (1,F,1,H,Wp,C)
+    big = 1e9
+
+    # the unpack is regenerated INSIDE each fused reduction (a bool
+    # (P,F,M,H,Wp) materialization would read 8x the HBM per pass)
+    def bitsx():
+        return _bits_of(planes)[..., None]          # (P,F,M,H,Wp,1)
+
+    n = _popcount_sum(planes)                       # (P,F,M)
+    n = jnp.maximum(n, 1)[..., None]                # (P,F,M,1)
+    rank = (n - 1) // 2
+
+    lo = jnp.min(jnp.where(bitsx(), v, big), axis=(3, 4))   # (P,F,M,C)
+    hi = jnp.max(jnp.where(bitsx(), v, -big), axis=(3, 4))
+    hi_all = hi
+    lo = jnp.minimum(lo, hi)
+
+    def body(_, state):
+        lo, hi = state
+        mid = (lo + hi) * 0.5
+        cnt = jnp.sum((v <= mid[:, :, :, None, None]) & bitsx(),
+                      axis=(3, 4))
+        ge = cnt >= rank + 1
+        return jnp.where(ge, lo, mid), jnp.where(ge, mid, hi)
+
+    lo, hi = jax.lax.fori_loop(0, N_BISECT, body, (lo, hi))
+    a = hi                                           # lower-middle statistic
+    ax = a[:, :, :, None, None]
+    cnt_le = jnp.sum((v <= ax) & bitsx(), axis=(3, 4))
+    min_gt = jnp.min(jnp.where(bitsx() & (v > ax), v, big), axis=(3, 4))
+    upper = jnp.where(cnt_le >= n // 2 + 1, a, jnp.minimum(min_gt, hi_all))
+    return jnp.where(n % 2 == 1, a, (a + upper) * 0.5)
+
+
+def _pack_plane(bits: jnp.ndarray) -> jnp.ndarray:
+    """(..., Wp) bool -> (..., Wp//8) uint8 (np.packbits order)."""
+    return _pack_bits(bits)
+
+
+def _compact_bank_packed(pts_flat: jnp.ndarray, full_p: jnp.ndarray,
+                         cap: int, wp: int):
+    """Route the first ``cap`` member pixels (ascending order) of each
+    packed plane to bank slots with prefix sums — no N-wide sort.
+
+    pts_flat (F, H*Wp, 3); full_p (F, M, H, WB) packed members ->
+    (F, M, cap, 3) bank + (F, M, cap) valid."""
+    f, m, h, wb = full_p.shape
+    pc_img = jax.lax.population_count(full_p)               # (F,M,H,WB) u8
+    row_cnt = jnp.sum(pc_img.astype(jnp.int32), -1)         # (F,M,H)
+    row_cum = jnp.cumsum(row_cnt, -1)                       # inclusive
+    total = row_cum[..., -1]                                # (F,M)
+
+    j = jnp.arange(cap)
+    # first row whose inclusive cumsum exceeds j
+    row_id = jnp.sum((row_cum[..., None] <= j).astype(jnp.int32), 2)
+    row_id = jnp.minimum(row_id, h - 1)                     # (F,M,cap)
+    row_excl = row_cum - row_cnt
+    rank_row = j - jnp.take_along_axis(row_excl, row_id, axis=2)
+
+    row_bytes = jnp.take_along_axis(
+        full_p, row_id[..., None], axis=2)                  # (F,M,cap,WB)
+    byte_cnt = jax.lax.population_count(row_bytes).astype(jnp.int32)
+    byte_cum = jnp.cumsum(byte_cnt, -1)
+    byte_id = jnp.sum((byte_cum <= rank_row[..., None]).astype(jnp.int32),
+                      -1)
+    byte_id = jnp.minimum(byte_id, wb - 1)
+    byte_excl = byte_cum - byte_cnt
+    rank_byte = rank_row - jnp.take_along_axis(
+        byte_excl, byte_id[..., None], axis=-1)[..., 0]
+
+    byte_val = jnp.take_along_axis(row_bytes, byte_id[..., None],
+                                   axis=-1)[..., 0]         # (F,M,cap) u8
+    shifts = jnp.arange(7, -1, -1, dtype=jnp.uint8)
+    bit8 = ((byte_val[..., None] >> shifts) & jnp.uint8(1)).astype(jnp.int32)
+    bit_cum = jnp.cumsum(bit8, -1)
+    bit_id = jnp.sum((bit_cum <= rank_byte[..., None]).astype(jnp.int32), -1)
+    bit_id = jnp.minimum(bit_id, 7)
+
+    pix = row_id * wp + byte_id * 8 + bit_id                # (F,M,cap)
+    valid = j < jnp.minimum(total, cap)[..., None]
+    bank = jnp.take_along_axis(pts_flat[:, None], pix[..., None], axis=2)
+    return jnp.where(valid[..., None], bank, 0.0), valid
 
 
 @partial(jax.jit, static_argnames=("h", "w", "thr", "diameter", "max_dist",
@@ -225,64 +391,80 @@ def _extract_window_bank(depth: jnp.ndarray, masks_packed: jnp.ndarray,
     that stays on device for the window-resident aggregation + fit
     (sowa/bank.py) — the host never touches per-point data.
 
+    Every membership plane stays np.packbits-packed uint8 end to end (see
+    the bit-packed kernel stage section above).
+
     Returns meta (F, M, 6) [center_xyz, ok, count, truncated] (the one
     small host download) and bank (F, M, cap, 3) camera-frame points
     (device-resident).  ``truncated`` = the full mask touches the first or
     last 10 pixel COLUMNS (the reference's (W,H)-layout ``[:10,:]`` check,
     loader.py:794) — the clever-aggregation distance penalty."""
-    f, m = masks_packed.shape[0], masks_packed.shape[1]
-    n = h * w
-    masks = _unpack_masks(masks_packed, w)
+    f, m, _, wb = masks_packed.shape
+    wp = wb * 8
 
     fu, fv = p2[0, 0], p2[1, 1]
     cu, cv = p2[0, 2], p2[1, 2]
-    xs = jax.lax.broadcasted_iota(jnp.float32, (h, w), 1)
-    ys = jax.lax.broadcasted_iota(jnp.float32, (h, w), 0)
-    px = ((xs - cu) * depth / fu).reshape(f, n)
-    py = ((ys - cv) * depth / fv).reshape(f, n)
-    pz = depth.reshape(f, n)
-    pvalid = pz > 1e-6
-    pts = jnp.stack([px, py, pz], -1)
+    if depth.dtype == jnp.uint16:
+        # uint16 mm-style fixed-point transport (DEPTH_U16_SCALE): the
+        # remote tunnel moves ~11 MB/s, so halving the depth bytes is worth
+        # the 2.3 mm quantization (well under the pseudo-LiDAR noise floor
+        # and the 5 mm device-vs-host parity tolerance)
+        depth = depth.astype(jnp.float32) * DEPTH_U16_SCALE
+    dpad = jnp.pad(depth, ((0, 0), (0, 0), (0, wp - w)))
+    xs = jax.lax.broadcasted_iota(jnp.float32, (h, wp), 1)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (h, wp), 0)
+    px = (xs - cu) * dpad / fu
+    py = (ys - cv) * dpad / fv
+    pz = dpad                                          # (F, H, Wp)
+    vals = jnp.stack([px, py, pz], -1)                 # (F, H, Wp, 3)
+    pvalid_p = _pack_plane(pz > 1e-6)                  # (F, H, WB)
 
-    area = jnp.sum(masks, axis=(2, 3))
+    area = _popcount_sum(masks_packed)                 # (F, M)
     struct = jnp.minimum(
         2 + (jnp.sqrt(area.astype(jnp.float32)).astype(jnp.int32)) // 10,
         K_MAX)
-    dist = _erosion_depth(masks).reshape(f, m, n)
-    mask_flat = masks.reshape(f, m, n)
-
-    mem_s = (dist > struct[..., None]) & pvalid[:, None]
-    mem_1 = (dist > 1) & pvalid[:, None]
-    mem_0 = mask_flat & pvalid[:, None]
-    c_1 = jnp.sum(mem_1, axis=-1)
-    c_s = jnp.sum(mem_s, axis=-1)
-    c_0 = jnp.sum(mem_0, axis=-1)
-    core = jnp.where((c_s >= thr)[..., None], mem_s,
-                     jnp.where((c_1 >= thr)[..., None], mem_1, mem_0))
+    mem1_p, mems_p = _erosion_members_packed(masks_packed, struct, w)
+    pv = pvalid_p[:, None]
+    mem0_p = masks_packed & pv
+    mem1_p = mem1_p & pv
+    mems_p = mems_p & pv
+    c_0 = _popcount_sum(mem0_p)
+    c_1 = _popcount_sum(mem1_p)
+    c_s = _popcount_sum(mems_p)
+    core_p = jnp.where((c_s >= thr)[..., None, None], mems_p,
+                       jnp.where((c_1 >= thr)[..., None, None],
+                                 mem1_p, mem0_p))
     ok = mask_valid & (area > 0) & (c_0 >= thr)
 
-    pts_b = pts[:, None]
-    center = _median3(jnp.broadcast_to(pts_b, (f, m, n, 3)), core)
-    d_xz = jnp.hypot(pts_b[..., 0] - center[..., 0:1],
-                     pts_b[..., 2] - center[..., 2:3])
-    core_f = core & (d_xz < diameter)
-    has_f = jnp.sum(core_f, axis=-1) > 0
-    center2 = _median3(jnp.broadcast_to(pts_b, (f, m, n, 3)), core_f)
+    # round 1: center over the eroded core + full-mask median (fused)
+    med1 = _multi_median_packed(vals, jnp.stack([core_p, mem0_p]))
+    center, fc = med1[0], med1[1]                      # (F, M, 3)
+
+    # ground-plane circle filters about the two medians (packed planes)
+    d_core = jnp.hypot(px[:, None] - center[..., 0:1, None],
+                       pz[:, None] - center[..., 2:3, None])  # (F,M,H,Wp)
+    core_f_p = core_p & _pack_plane(d_core < diameter)
+    d_full = jnp.hypot(px[:, None] - fc[..., 0:1, None],
+                       pz[:, None] - fc[..., 2:3, None])
+    full_p = mem0_p & _pack_plane(d_full < diameter)
+
+    has_f = _popcount_sum(core_f_p) > 0
+    # round 2: re-median over the circle-filtered core
+    center2 = _multi_median_packed(vals, core_f_p[None])[0]
     center = jnp.where(has_f[..., None], center2, center)
     if use_pseudo_lidar:
         ok = ok & (jnp.linalg.norm(center, axis=-1) <= max_dist)
 
-    fc = _median3(jnp.broadcast_to(pts_b, (f, m, n, 3)), mem_0)
-    d_full = jnp.hypot(pts_b[..., 0] - fc[..., 0:1],
-                       pts_b[..., 2] - fc[..., 2:3])
-    full = mem_0 & (d_full < diameter)
-    n_full = jnp.sum(full, axis=-1)
+    n_full = _popcount_sum(full_p)
     ok = ok & (n_full >= thr)
 
-    trunc = (jnp.any(masks[:, :, :, :10], axis=(2, 3))
-             | jnp.any(masks[:, :, :, -10:], axis=(2, 3)))
+    first10 = jnp.asarray(_col_bit_mask(w, wb, range(10)))
+    last10 = jnp.asarray(_col_bit_mask(w, wb, range(w - 10, w)))
+    trunc = (jnp.any((masks_packed & first10) != 0, axis=(2, 3))
+             | jnp.any((masks_packed & last10) != 0, axis=(2, 3)))
 
-    bank, bank_valid = _compact_bank(pts, full, cap)
+    bank, _bank_valid = _compact_bank_packed(
+        vals.reshape(f, h * wp, 3), full_p, cap, wp)
     meta = jnp.concatenate(
         [center, ok[..., None].astype(jnp.float32),
          jnp.minimum(n_full, cap)[..., None].astype(jnp.float32),
@@ -301,7 +483,10 @@ class DeviceExtractor:
     img_hw: tuple
     cfg: CandidateConfig = dataclasses.field(default_factory=CandidateConfig)
     max_masks: int = 16
-    frame_bucket: int = 8
+    frame_bucket: int = 10
+    # quantize the depth upload to uint16 fixed point (DEPTH_U16_SCALE):
+    # halves the dominant tunnel upload at 2.3 mm max error
+    depth_u16: bool = True
 
     def extract_frames_banked(self, depths: Sequence[np.ndarray],
                               masks_per_frame: Sequence[Sequence[np.ndarray]],
@@ -314,7 +499,6 @@ class DeviceExtractor:
         from monosowa_tpu.sowa.bank import BankRef
 
         h, w = self.img_hw
-        wpad = (-w) % 8
         f_total = len(depths)
         results: List[Optional[dict]] = [None] * f_total
         todo = [i for i in range(f_total)
@@ -322,20 +506,36 @@ class DeviceExtractor:
         if not todo:
             return results, None
 
+        # bucket the mask-slot axis to the batch's real need: the upload
+        # and the whole kernel scale with M, and most frames carry far
+        # fewer masks than max_masks
+        need = max(len(masks_per_frame[i]) for i in todo)
+        mcap = self.max_masks
+        for b in (4, 8, 16):
+            if need <= b <= self.max_masks:
+                mcap = b
+                break
+
         g = self.frame_bucket
         pending = []
         for c0 in range(0, len(todo), g):
             chunk = todo[c0:c0 + g]
-            depth_b = np.zeros((g, h, w), np.float32)
-            packed_b = np.zeros((g, self.max_masks, h, (w + wpad) // 8),
-                                np.uint8)
-            valid_b = np.zeros((g, self.max_masks), bool)
+            if self.depth_u16:
+                depth_b = np.zeros((g, h, w), np.uint16)
+            else:
+                depth_b = np.zeros((g, h, w), np.float32)
+            packed_b = np.zeros((g, mcap, h, -(-w // 8)), np.uint8)
+            valid_b = np.zeros((g, mcap), bool)
             for k, fi in enumerate(chunk):
-                depth_b[k] = depths[fi]
-                for mi, mask in enumerate(masks_per_frame[fi]
-                                          [:self.max_masks]):
-                    packed_b[k, mi] = np.packbits(
-                        np.pad(mask, ((0, 0), (0, wpad))), axis=-1)
+                if self.depth_u16:
+                    depth_b[k] = np.clip(
+                        np.rint(depths[fi] * (1.0 / DEPTH_U16_SCALE)),
+                        0, 65535).astype(np.uint16)
+                else:
+                    depth_b[k] = depths[fi]
+                for mi, mask in enumerate(masks_per_frame[fi][:mcap]):
+                    # np.packbits zero-pads the trailing bits itself
+                    packed_b[k, mi] = np.packbits(mask, axis=-1)
                     valid_b[k, mi] = True
             meta_dev, bank_dev = _extract_window_bank(
                 jnp.asarray(depth_b), jnp.asarray(packed_b),
@@ -356,8 +556,7 @@ class DeviceExtractor:
             banks.append(bank_dev)
             for k, fi in enumerate(chunk):
                 locs, refs, masks_out = [], [], []
-                for mi, mask in enumerate(masks_per_frame[fi]
-                                          [:self.max_masks]):
+                for mi, mask in enumerate(masks_per_frame[fi][:mcap]):
                     if meta[k, mi, 3] <= 0.5:
                         continue
                     locs.append(meta[k, mi, :3])

@@ -84,9 +84,10 @@ def make_sequence(n_frames=8, window=6, seed=0):
     return frames, window
 
 
-def run(n_frames=8, do_profile=False, quiet=False):
+def run(n_frames=8, do_profile=False, quiet=False, iters=3):
     """Times label_frames over ``n_frames`` full-size frames; returns
-    steady-state frames/s (after a same-shape compile warmup)."""
+    steady-state frames/s (median of ``iters`` warm passes — single passes
+    jitter badly on the remote-execution tunnel)."""
     from monosowa_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache("/tmp/jax_cache")
     from monosowa_tpu.sowa import pipeline
@@ -96,7 +97,7 @@ def run(n_frames=8, do_profile=False, quiet=False):
     cfg = pipeline.PipelineConfig(
         nscans_before=window, nscans_after=window, max_cars=16,
         max_points=2048, min_standing_points=400,
-        fit=FitConfig(fine_chunk=12))
+        fit=FitConfig(fine_chunk=60))
     labeler = pipeline.PseudoLabeler(cfg)
 
     tmp = tempfile.mkdtemp()
@@ -131,9 +132,14 @@ def run(n_frames=8, do_profile=False, quiet=False):
     if do_profile:
         pr = cProfile.Profile()
         pr.enable()
-    t0 = time.perf_counter()
-    n = labeler.label_frames(jobs("run"))
-    dt = time.perf_counter() - t0
+    dts = []
+    for it in range(iters):
+        t0 = time.perf_counter()
+        n = labeler.label_frames(jobs(f"run{it}"))
+        dts.append(time.perf_counter() - t0)
+        if not quiet:
+            print(f"# e2e iter {it}: {n} frames in {dts[-1]:.2f}s")
+    dt = float(np.median(dts))
     if do_profile:
         pr.disable()
         pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
