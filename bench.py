@@ -191,27 +191,59 @@ def _probe_platform(timeout_s: float = 240.0) -> str:
     return out.stdout.strip()
 
 
+def _run_child(name: str, attempts: int = 3, timeout_s: float = 900.0):
+    """Run one metric in a CHILD process with retries.
+
+    The axon tunnel intermittently fails a single execution with an opaque
+    INVALID_ARGUMENT (observed ~10-20% of runs on the big train program);
+    the failure can poison the in-process client, so each metric gets a
+    fresh process and a crashed attempt is simply retried."""
+    import subprocess
+    env = dict(os.environ, BENCH_CHILD=name)
+    for attempt in range(attempts):
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                capture_output=True, text=True, timeout=timeout_s, env=env)
+        except subprocess.TimeoutExpired:
+            print(f"# bench {name} attempt {attempt}: timeout",
+                  file=sys.stderr, flush=True)
+            continue
+        sys.stderr.write(out.stderr)
+        line = [l for l in out.stdout.splitlines()
+                if l.startswith("{")]
+        if out.returncode == 0 and line:
+            print(line[-1], flush=True)
+            return True
+        print(f"# bench {name} attempt {attempt}: rc={out.returncode} "
+              f"{out.stdout.strip()[-200:]}", file=sys.stderr, flush=True)
+    print(f"# bench {name} FAILED after {attempts} attempts",
+          file=sys.stderr, flush=True)
+    return False
+
+
 def main():
+    suite = {"fit": bench_fit, "e2e": bench_e2e, "train": bench_train}
+
+    child = os.environ.get("BENCH_CHILD", "")
+    if child:
+        # child mode: run exactly one metric in this process
+        from monosowa_tpu.utils.jaxcache import enable_persistent_cache
+        enable_persistent_cache("/tmp/jax_cache")
+        suite[child]()
+        return
+
     platform = _probe_platform()
     print(f"# bench platform: {platform}", file=sys.stderr)
-
-    import jax
 
     # persistent compile cache: end-of-round driver runs (and retries) skip
     # the multi-minute remote compile; machine-keyed (utils/jaxcache.py) so
     # a VM migration can't feed stale XLA:CPU machine code (SIGABRT)
-    from monosowa_tpu.utils.jaxcache import enable_persistent_cache
-    enable_persistent_cache("/tmp/jax_cache")
-
     only = os.environ.get("BENCH_ONLY", "")
-    suite = {"fit": bench_fit, "e2e": bench_e2e, "train": bench_train}
-    for name, fn in suite.items():
+    for name in suite:
         if only and name != only:
             continue
-        try:
-            fn()
-        except Exception as e:  # one failing metric must not kill the rest
-            print(f"# bench {name} FAILED: {e!r}", file=sys.stderr)
+        _run_child(name)
 
 
 if __name__ == "__main__":
