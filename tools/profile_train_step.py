@@ -17,6 +17,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import numpy as np
 
+from monosowa_tpu.utils.jaxcache import enable_persistent_cache
+
+enable_persistent_cache("/tmp/jax_cache")
+
 
 def time_step(model, batch, iters, fwd_only=False):
     from monosowa_tpu.train.optim import make_optimizer
