@@ -32,6 +32,23 @@ MAX_TRUNCATION = [0.15, 0.3, 0.5]
 NO_DETECTION = -10000000
 
 
+def _thread_map(fn, n_items: int, min_items: int = 16):
+    """Map ``fn`` over range(n_items), threading when it can pay off.
+
+    The native kernels release the GIL for the duration of each ctypes
+    call, so per-image statistics parallelize across host cores (the
+    reference reaches the same goal with numba ``parallel=True`` loops,
+    eval.py:415-455).  Results come back in index order — accumulation
+    stays deterministic.  Single-core hosts (and tiny inputs) take the
+    plain loop."""
+    workers = min(8, os.cpu_count() or 1)
+    if workers <= 1 or n_items < min_items:
+        return [fn(k) for k in range(n_items)]
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        return list(pool.map(fn, range(n_items)))
+
+
 # ---------------------------------------------------------------------------
 # annotation loading
 # ---------------------------------------------------------------------------
@@ -392,8 +409,9 @@ def _overlaps(gt_annos, dt_annos, metric):
     from monosowa_tpu.evalkitti import native
 
     use_native = native.available()
-    out = []
-    for gt, dt in zip(gt_annos, dt_annos):
+
+    def one(k):
+        gt, dt = gt_annos[k], dt_annos[k]
         if metric == 0:
             ov = image_box_overlap(dt["bbox"], gt["bbox"])
         elif metric == 1:
@@ -412,8 +430,9 @@ def _overlaps(gt_annos, dt_annos, metric):
                                    gt["rotation_y"][:, None]], 1)
             ov = (native.d3_overlap(dt_b, gt_b) if use_native
                   else d3_box_overlap(dt_b, gt_b))
-        out.append(ov.astype(np.float64))
-    return out
+        return ov.astype(np.float64)
+
+    return _thread_map(one, len(gt_annos))
 
 
 def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
@@ -435,13 +454,12 @@ def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
      total_num_valid_gt) = _prepare_data(gt_annos, dt_annos, current_class,
                                          difficulty, by_distance)
     # pass 1: collect tp scores
-    all_thresholds = []
-    for k in range(len(gt_annos)):
-        _, _, _, _, th = stats_fn(
+    all_thresholds = _thread_map(
+        lambda k: stats_fn(
             overlaps[k], gt_datas[k], dt_datas[k], ignored_gts[k],
             ignored_dets[k], dontcares[k], metric, min_overlap,
-            compute_fp=False)
-        all_thresholds.append(th)
+            compute_fp=False)[4],
+        len(gt_annos))
     all_scores = np.concatenate(all_thresholds) if all_thresholds else \
         np.zeros(0)
     if total_num_valid_gt == 0:
@@ -450,23 +468,31 @@ def eval_class(gt_annos, dt_annos, current_class: int, difficulty: int,
     thresholds = np.array(get_thresholds(all_scores, total_num_valid_gt,
                                          num_sample_pts))
     pr = np.zeros((len(thresholds), 4))
-    for k in range(len(gt_annos)):
-        if use_native:
+    if use_native:
+        # per-image buffers summed in index order: bitwise identical to the
+        # serial accumulation regardless of thread completion order
+        def one_pr(k):
+            pr_k = np.zeros((len(thresholds), 4))
             native.accumulate_pr(
                 overlaps[k], gt_datas[k], dt_datas[k], ignored_gts[k],
                 ignored_dets[k], dontcares[k], metric, min_overlap,
-                thresholds, compute_aos, pr)
-            continue
-        for t, th in enumerate(thresholds):
-            tp, fp, fn, sim, _ = compute_statistics(
-                overlaps[k], gt_datas[k], dt_datas[k], ignored_gts[k],
-                ignored_dets[k], dontcares[k], metric, min_overlap,
-                thresh=th, compute_fp=True, compute_aos=compute_aos)
-            pr[t, 0] += tp
-            pr[t, 1] += fp
-            pr[t, 2] += fn
-            if sim != -1:
-                pr[t, 3] += sim
+                thresholds, compute_aos, pr_k)
+            return pr_k
+
+        for pr_k in _thread_map(one_pr, len(gt_annos)):
+            pr += pr_k
+    else:
+        for k in range(len(gt_annos)):
+            for t, th in enumerate(thresholds):
+                tp, fp, fn, sim, _ = compute_statistics(
+                    overlaps[k], gt_datas[k], dt_datas[k], ignored_gts[k],
+                    ignored_dets[k], dontcares[k], metric, min_overlap,
+                    thresh=th, compute_fp=True, compute_aos=compute_aos)
+                pr[t, 0] += tp
+                pr[t, 1] += fp
+                pr[t, 2] += fn
+                if sim != -1:
+                    pr[t, 3] += sim
 
     precision = np.zeros(num_sample_pts)
     recall = np.zeros(num_sample_pts)
