@@ -51,16 +51,9 @@ def time_step(model, batch, iters, fwd_only=False):
     return float(np.median(times)), compile_s
 
 
-def main():
-    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    only = set(sys.argv[3:])
-
-    import __graft_entry__ as ge
+def make_cases():
     from monosowa_tpu.models.monodetr import MonoDETR
-
-    batch = ge._sample_batch(batch_size, 384, 1280)
-    cases = {
+    return {
         "full": MonoDETR(),
         "no_enc": MonoDETR(enc_layers=0),
         "enc1": MonoDETR(enc_layers=1),
@@ -69,12 +62,55 @@ def main():
         "f32": MonoDETR(compute_dtype="float32"),
         "fwd": MonoDETR(),
     }
+
+
+def run_case(name, batch_size, iters):
+    import __graft_entry__ as ge
+    batch = ge._sample_batch(batch_size, 384, 1280)
+    return time_step(make_cases()[name], batch, iters,
+                     fwd_only=(name == "fwd"))
+
+
+def main():
+    batch_size = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    iters = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    only = set(sys.argv[3:])
+
+    child = os.environ.get("PROFILE_CHILD", "")
+    if child:
+        dt, compile_s = run_case(child, batch_size, iters)
+        print(f"RESULT {child} {dt:.4f} {compile_s:.1f}", flush=True)
+        return
+
+    # each case in a CHILD with retries: a single axon execution fails with
+    # an opaque INVALID_ARGUMENT ~10-20% of the time and poisons the client
+    import subprocess
     base = None
-    for name, model in cases.items():
+    for name in make_cases():
         if only and name not in only:
             continue
-        dt, compile_s = time_step(model, batch, iters,
-                                  fwd_only=(name == "fwd"))
+        dt = compile_s = None
+        for attempt in range(4):
+            env = dict(os.environ, PROFILE_CHILD=name)
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__),
+                     str(batch_size), str(iters)],
+                    capture_output=True, text=True, timeout=1200, env=env)
+            except subprocess.TimeoutExpired:
+                print(f"# {name} attempt {attempt}: timeout", flush=True)
+                continue
+            line = [l for l in out.stdout.splitlines()
+                    if l.startswith("RESULT ")]
+            if out.returncode == 0 and line:
+                _, _, dt, compile_s = line[-1].split()
+                dt, compile_s = float(dt), float(compile_s)
+                break
+            print(f"# {name} attempt {attempt}: rc={out.returncode} "
+                  f"{out.stderr.strip()[-200:]}", flush=True)
+        if dt is None:
+            print(f"{name:10s}: FAILED", flush=True)
+            continue
         delta = "" if base is None else f"  (full - this = {base - dt:+.3f}s)"
         if name == "full":
             base = dt
