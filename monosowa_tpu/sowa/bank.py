@@ -228,16 +228,29 @@ def _fit_from_bank(bank, slot_fm, slot_rt, slot_off, slot_denom, slot_cnt,
 
 
 @partial(jax.jit, static_argnames=("quota", "cfg", "spec", "n_frames",
-                                   "max_cars"))
+                                   "max_cars", "refit_cap"))
 def _fit_nms_from_bank(bank, slot_fm, slot_rt, slot_off, slot_denom,
                        slot_cnt, slot_valid, moving, theta_est, theta_valid,
                        car_valid, car_frame, car_slot, npts, lwh, nms_iou,
                        template, occ_k, memb_k, spec, cfg: FitConfig,
-                       quota: int, n_frames: int, max_cars: int):
-    """Fused fit + per-frame 3D NMS: ONE device program, ONE flat f32
-    result [fit (4, B) | keep/merged (2, n_frames, max_cars)] — each
-    blocking host pull costs a full tunnel round trip, so the pipeline
-    pays exactly one for the whole window group."""
+                       quota: int, n_frames: int, max_cars: int,
+                       refit_cap: int = 0):
+    """Fused fit + per-frame 3D NMS (+ optional NMS-merge re-fit): ONE
+    device program, ONE flat f32 result
+    [fit (4, B) | keep/merged (2, n_frames, max_cars)
+     | n_targets (1) | refit sel/x/y/z/theta (5, refit_cap)] —
+    each blocking host pull costs a full tunnel round trip, so the
+    pipeline pays exactly one for the whole window group.
+
+    With ``refit_cap > 0`` the NMS-merge re-optimization (the reference's
+    merge-losers-then-reoptimize loop, loader.py:2785-2789 +
+    main_class.py:227-235) also runs in-program: for each kept car that
+    suppressed at least one other, the union of the group's observation
+    slots is rebuilt exactly as ``merge_slots`` does (count-desc order,
+    winner's slots first on ties, truncated to the slot budget) and the
+    first ``refit_cap`` such targets (batch order) are re-fit.  The
+    emitted ``n_targets`` lets the host fall back to a separate re-fit
+    call for the overflow (rare)."""
     from monosowa_tpu.ops import box3d
 
     res = _fit_from_bank(bank, slot_fm, slot_rt, slot_off, slot_denom,
@@ -246,15 +259,15 @@ def _fit_nms_from_bank(bank, slot_fm, slot_rt, slot_off, slot_denom,
                          spec, cfg, quota)
     centers = jnp.stack([res.x, res.y, res.z], -1)          # (B, 3)
     # padded batch rows scatter out of bounds -> dropped (jnp .at default)
-    car_slot = jnp.where(car_valid, car_slot, max_cars)
+    slot_scatter = jnp.where(car_valid, car_slot, max_cars)
     c_f = jnp.zeros((n_frames, max_cars, 3), jnp.float32) \
-        .at[car_frame, car_slot].set(centers)
+        .at[car_frame, slot_scatter].set(centers)
     t_f = jnp.zeros((n_frames, max_cars), jnp.float32) \
-        .at[car_frame, car_slot].set(res.theta)
+        .at[car_frame, slot_scatter].set(res.theta)
     np_f = jnp.zeros((n_frames, max_cars), jnp.float32) \
-        .at[car_frame, car_slot].set(npts)
+        .at[car_frame, slot_scatter].set(npts)
     v_f = jnp.zeros((n_frames, max_cars), bool) \
-        .at[car_frame, car_slot].set(car_valid)
+        .at[car_frame, slot_scatter].set(car_valid)
     lwh_f = jnp.broadcast_to(lwh, (n_frames, max_cars, 3))
     keep_f, merged_f = jax.vmap(box3d.nms_3d,
                                 in_axes=(0, 0, 0, 0, 0, None))(
@@ -262,17 +275,72 @@ def _fit_nms_from_bank(bank, slot_fm, slot_rt, slot_off, slot_denom,
     fit_pack = jnp.stack([res.x, res.y, res.z, res.theta]).reshape(-1)
     nms_pack = jnp.stack([keep_f.astype(jnp.float32),
                           merged_f.astype(jnp.float32)]).reshape(-1)
-    return jnp.concatenate([fit_pack, nms_pack])
+    if not refit_cap:
+        return jnp.concatenate([fit_pack, nms_pack])
+
+    b, s = slot_fm.shape[0], slot_fm.shape[1]
+    bidx = jnp.arange(b, dtype=jnp.int32)
+    slot_clip = jnp.minimum(car_slot, max_cars - 1)
+    # frame-slot -> batch index (padded rows scatter out of bounds)
+    idx_f = jnp.full((n_frames, max_cars), b, jnp.int32) \
+        .at[car_frame, slot_scatter].set(bidx)
+    keep_b = keep_f[car_frame, slot_clip] & car_valid
+    win_b = idx_f[car_frame, merged_f[car_frame, slot_clip]]   # may be b
+    keep_pad = jnp.concatenate([keep_b, jnp.zeros(1, bool)])
+    # a loser contributes iff its winner survived (pipeline's
+    # keep_i[merged_i[i]] gate)
+    contrib = car_valid & ~keep_b & (win_b < b) & keep_pad[win_b]
+    owns = (win_b[None, :] == bidx[:, None]) & contrib[None, :]  # (B, B)
+    target = car_valid & keep_b & jnp.any(owns, axis=1)
+
+    # merged slot union per target, exactly merge_slots' stable
+    # count-descending order: winner's own slots first, then losers in
+    # ascending batch order
+    member = owns | (bidx[None, :] == bidx[:, None])
+    i_idx = jnp.repeat(bidx, s)                  # (B*S,) owning car
+    j_idx = jnp.tile(jnp.arange(s, dtype=jnp.int32), b)
+    rank = jnp.where(i_idx[None, :] == bidx[:, None], j_idx[None, :],
+                     s * (i_idx[None, :] + 1) + j_idx[None, :])
+    kk = b * s + s + 2
+    m_flat = member[:, i_idx] & slot_valid.reshape(-1)[None, :]
+    score = jnp.where(m_flat,
+                      slot_cnt.reshape(-1)[None, :] * kk - rank, -1)
+    top_score, top_idx = jax.lax.top_k(score, s)         # (B, S)
+    m_valid = top_score >= 0
+    m_fm = slot_fm.reshape(-1, 2)[top_idx]
+    m_rt = slot_rt.reshape(-1, 3, 4)[top_idx]
+    m_off = slot_off.reshape(-1)[top_idx]
+    m_denom = slot_denom.reshape(-1)[top_idx]
+    m_cnt = slot_cnt.reshape(-1)[top_idx]
+
+    # first refit_cap targets in batch (= frame-major) order
+    tsel = jnp.sort(jnp.where(target, bidx, b))[:refit_cap]
+    rvalid = tsel < b
+    rg = jnp.clip(tsel, 0, b - 1)
+    rres = _fit_from_bank(
+        bank, m_fm[rg], m_rt[rg], m_off[rg], m_denom[rg], m_cnt[rg],
+        m_valid[rg] & rvalid[:, None], moving[rg], theta_est[rg],
+        theta_valid[rg], rvalid, template, occ_k, memb_k, spec, cfg, quota)
+    refit_pack = jnp.stack([
+        jnp.where(rvalid, tsel, -1).astype(jnp.float32),
+        rres.x, rres.y, rres.z, rres.theta]).reshape(-1)
+    n_targets = jnp.sum(target).astype(jnp.float32)[None]
+    return jnp.concatenate([fit_pack, nms_pack, n_targets, refit_pack])
 
 
 def fit_and_nms_slots(bank, slots, tracks, windows, owners, n_frames,
                       max_cars, lwh, nms_iou, template, occ_k, memb_k,
                       spec, cfg: FitConfig, n_slots: int, quota: int,
-                      bucket: int = 8, angle_min_dist: float = 3.0):
+                      bucket: int = 8, angle_min_dist: float = 3.0,
+                      refit_cap: int = 0):
     """Host wrapper: stack slot specs + frame ownership, run the fused
     program, split the single pulled array.
 
-    Returns (centers (B,3), thetas (B,), {frame: (keep, merged)})."""
+    Returns (centers (B,3), thetas (B,), {frame: (keep, merged)},
+    n_targets, {batch idx: (center, theta)}): the last two report the
+    in-program NMS-merge re-fits when ``refit_cap > 0`` (n_targets >
+    refit_cap means the overflow targets still need a host-side re-fit;
+    with refit_cap == 0 they are (0, {}) and the host re-fits all)."""
     b = len(slots)
     bb = -(-max(b, 1) // bucket) * bucket
     fm = np.zeros((bb, n_slots, 2), np.int32)
@@ -317,12 +385,20 @@ def fit_and_nms_slots(bank, slots, tracks, windows, owners, n_frames,
         jnp.asarray(theta_valid), jnp.asarray(car_valid),
         jnp.asarray(car_frame), jnp.asarray(car_slot), jnp.asarray(npts),
         jnp.asarray(lwh, jnp.float32), jnp.float32(nms_iou),
-        template, occ_k, memb_k, spec, cfg, quota, fp, max_cars))
+        template, occ_k, memb_k, spec, cfg, quota, fp, max_cars,
+        refit_cap))
     fit = out[:4 * bb].reshape(4, bb)
-    nms = out[4 * bb:].reshape(2, fp, max_cars)
+    nms_end = 4 * bb + 2 * fp * max_cars
+    nms = out[4 * bb:nms_end].reshape(2, fp, max_cars)
     nms_by_frame = {fi: (nms[0, fi] > 0.5, nms[1, fi].astype(np.int64))
                     for fi in range(fp)}
-    return fit[:3].T, fit[3], nms_by_frame
+    if not refit_cap:
+        return fit[:3].T, fit[3], nms_by_frame, 0, {}
+    n_targets = int(out[nms_end])
+    rp = out[nms_end + 1:].reshape(5, refit_cap)
+    refits = {int(rp[0, r]): (rp[1:4, r], float(rp[4, r]))
+              for r in range(refit_cap) if rp[0, r] >= 0}
+    return fit[:3].T, fit[3], nms_by_frame, n_targets, refits
 
 
 def fit_slots(bank, slots: Sequence[CarSlots],

@@ -70,6 +70,10 @@ class PipelineConfig:
     # (max_points // n_slots) evenly-subsampled points each.
     device_bank: bool = True
     bank_slots: int = 10
+    # NMS-merge re-fit slots carried INSIDE the fused bank program (one
+    # round trip for fit+NMS+re-fit); windows with more merge targets than
+    # this fall back to one extra device call for the overflow
+    bank_refit_cap: int = 8
     # optional stages (reference flags in parentheses)
     use_ensemble_filter: bool = False   # frames_creation.use_hdbscan
     use_scale_detector: bool = False    # scale_detector.use_scale_detector
@@ -515,6 +519,8 @@ class PseudoLabeler:
             owners.extend([fi] * n_i)
         n_written = 0
         nms_by_frame = {}
+        bank_refits = {}
+        bank_targets = 0
         if all_tracks and use_bank:
             from monosowa_tpu.sowa import bank as bank_mod
             # bucket the bank's frame-row count for compile-cache stability
@@ -523,12 +529,14 @@ class PseudoLabeler:
             bank_b = (jnp.pad(bank, ((0, fpad), (0, 0), (0, 0), (0, 0)))
                       if fpad else bank)
             l0, w0, h0 = cfg.template_dims_lwh
-            centers, thetas, nms_by_frame = bank_mod.fit_and_nms_slots(
+            (centers, thetas, nms_by_frame, bank_targets,
+             bank_refits) = bank_mod.fit_and_nms_slots(
                 bank_b, all_slots, all_tracks, all_windows, owners,
                 len(prepared), cfg.max_cars,
                 np.array([l0, w0, h0], np.float32), cfg.nms_iou,
                 self.template, self.occ_kernels, self.memb_kernels,
-                self.conv_spec, cfg.fit, cfg.bank_slots, quota)
+                self.conv_spec, cfg.fit, cfg.bank_slots, quota,
+                refit_cap=cfg.bank_refit_cap)
         elif all_tracks:
             # bucket the batch size so repeated label_frames calls reuse the
             # compiled fit instead of recompiling per distinct car count
@@ -579,11 +587,24 @@ class PseudoLabeler:
                 nms_by_frame[fi] = (packed_nms[0, fi].astype(bool),
                                     packed_nms[1, fi])
 
-        # cross-frame batched merge re-fit: collect every frame's NMS-merge
-        # targets and fit them in ONE device call instead of per-frame
-        # dispatches (each dispatch costs a full round-trip)
+        # cross-frame batched merge re-fit.  Bank mode: the fused program
+        # already re-fit the first ``bank_refit_cap`` merge targets —
+        # unpack them (batch order = frame-major = the host group order)
+        # and only the rare overflow needs a second device call.  Host
+        # mode: collect every frame's merge targets and fit them in ONE
+        # device call instead of per-frame dispatches (each dispatch
+        # costs a full round-trip).
         refit_by_frame = {fi: {} for fi in range(len(prepared))}
-        if all_tracks:
+        if all_tracks and use_bank and bank_refits:
+            frame_first = {}
+            for b_idx, fi in enumerate(owners):
+                frame_first.setdefault(int(fi), b_idx)
+            for b_idx, val in bank_refits.items():
+                fi = int(owners[b_idx])
+                refit_by_frame[fi][b_idx - frame_first[fi]] = val
+        need_host_refit = ((not use_bank) or cfg.bank_refit_cap == 0
+                           or bank_targets > cfg.bank_refit_cap)
+        if all_tracks and need_host_refit:
             groups = []   # (fi, t, merged_points|slots, track, window)
             for fi, item in enumerate(prepared):
                 keep_i, merged_i = nms_by_frame[fi]
@@ -607,6 +628,10 @@ class PseudoLabeler:
                             np.concatenate(parts, 0))
                     groups.append((fi, t, payload,
                                    item["kept"][t], item["window"]))
+            if use_bank:
+                # the fused program covered the first bank_refit_cap
+                # targets in this exact order; fit only the overflow
+                groups = groups[cfg.bank_refit_cap:]
             if groups and use_bank:
                 from monosowa_tpu.sowa import bank as bank_mod
                 rres = bank_mod.fit_slots(
