@@ -136,7 +136,11 @@ def bench_train():
     from monosowa_tpu.train.trainer import init_state, make_train_step
 
     batch_size, iters = 8, 4
-    model = MonoDETR()
+    # ablation hook: BENCH_TRAIN_MODEL='{"enc_layers": 0}' measures a
+    # model variant through the same child/retry machinery (the ablation
+    # profiler's subtraction method, but on the bench vehicle)
+    abl = os.environ.get("BENCH_TRAIN_MODEL", "")
+    model = MonoDETR(**json.loads(abl)) if abl else MonoDETR()
     batch = ge._sample_batch(batch_size, 384, 1280)
     tx = make_optimizer(base_lr=2e-4, steps_per_epoch=100)
     state = init_state(model, tx, {k: np.asarray(v) for k, v in batch.items()})

@@ -433,8 +433,9 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
 @functools.lru_cache(maxsize=None)
 def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...], chunk_q: int,
                dv_chunk_q: int, onehot_dtype_name: str,
-               gather_mode: str = "quad"):
+               gather_mode: str = "quad", bwd_gather_mode: str = ""):
     onehot_dtype = jnp.dtype(onehot_dtype_name)
+    bwd_mode = bwd_gather_mode or gather_mode
 
     @jax.custom_vjp
     def f(value, loc, w):
@@ -449,7 +450,7 @@ def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...], chunk_q: int,
     def f_bwd(res, dout):
         value, loc, w = res
         return _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q,
-                         dv_chunk_q, onehot_dtype, gather_mode)
+                         dv_chunk_q, onehot_dtype, bwd_mode)
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -463,7 +464,8 @@ def ms_deform_attn(value: jnp.ndarray,
                    dv_chunk_q: int = 256,
                    onehot_dtype: str = "float32",
                    custom_vjp: bool = True,
-                   gather_mode: str = "quad") -> jnp.ndarray:
+                   gather_mode: str = "quad",
+                   bwd_gather_mode: str = "") -> jnp.ndarray:
     """Pure-XLA multi-scale deformable attention core.
 
     value: (B, sum(H*W), M, D) flattened multi-level features;
@@ -483,6 +485,9 @@ def ms_deform_attn(value: jnp.ndarray,
     in ONE gather from pre-concatenated [v, v+1, v+w, v+w+1] rows — TPU
     gathers are row-rate-bound, so this is ~4x fewer serialized rows than
     the per-corner mode ("corner", kept for parity testing).
+    bwd_gather_mode overrides the row-fetch mode in the custom backward
+    only (empty = same as gather_mode): the forward and the dLoc/dW
+    regather have different optimal formulations on TPU.
     """
     if not custom_vjp:
         q = sampling_locations.shape[1]
@@ -504,5 +509,5 @@ def ms_deform_attn(value: jnp.ndarray,
         qp = locs.shape[0] * chunk_q
         return jnp.moveaxis(out, 0, 1).reshape(b, qp, m * d)[:, :q]
     fn = _make_msda(tuple(tuple(s) for s in spatial_shapes), chunk_q,
-                    dv_chunk_q, onehot_dtype, gather_mode)
+                    dv_chunk_q, onehot_dtype, gather_mode, bwd_gather_mode)
     return fn(value, sampling_locations, attention_weights)

@@ -1,0 +1,143 @@
+"""MSDA forward as a fused one-hot-matmul Pallas TPU kernel.
+
+The XLA one-hot formulation (ops/msda.py ``gather_mode="onehot"``) beats
+serialized gathers by fetching sample rows with MXU dots, but XLA stages
+the (J, T) one-hot operand and the (J, 4D) row tensor through HBM between
+fusions; at encoder shapes the op runs ~5x above its dense-FLOP floor.
+This kernel keeps the whole chain in VMEM: per (batch, head, query-block)
+grid step it builds the one-hot tile, dots it against the level's quad
+rows, folds the bilinear-slot coefficients, and accumulates the output —
+one HBM read of the quad bank per (b, m) and one HBM write of the final
+(BQ, D) block.
+
+Behavioral contract: identical to ``_msda_core``'s one-hot branch
+(reference semantics: MonoDETR ops/functions/ms_deform_attn_func.py:41-61,
+the pure-pytorch MSDA spec).  Parity-tested in interpret mode on CPU and
+against the XLA path on device.
+
+Layout notes (pallas_guide.md):
+* lane dim = 128: the quad row payload 4*D = 128 exactly fills a lane
+  tile; the one-hot tile (BQ, T_chunk) is bf16 (16, 128)-tileable.
+* the T axis is cut into ``block_t`` chunks so the one-hot tile stays
+  ~1 MB; the dot accumulates over chunks.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _fwd_kernel(idx_ref, coef_ref, quadv_ref, out_ref, *,
+                level_spans: Tuple[Tuple[int, int], ...], n_points: int,
+                block_t: int, d_head: int):
+    """Grid step (b, m, qi): out (BQ, 4D) slot-major accumulator.
+
+    idx_ref (BQ, L*P) int32 GLOBAL anchor rows (level offsets folded in);
+    coef_ref (BQ, L*P*4) f32 bilinear-slot coefficients (aw folded in);
+    quadv_ref (T_total, 4D) bf16 quad rows for this (b, m).
+    """
+    bq = idx_ref.shape[0]
+    acc = jnp.zeros((bq, 4 * d_head), jnp.float32)
+    for li, (t0, tl) in enumerate(level_spans):
+        for p in range(n_points):
+            s = li * n_points + p
+            ii = idx_ref[:, s]                                # (BQ,)
+            rows = jnp.zeros((bq, 4 * d_head), jnp.float32)
+            for c0 in range(t0, t0 + tl, block_t):
+                ct = min(block_t, t0 + tl - c0)
+                iota = c0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, ct), 1)
+                oh = (ii[:, None] == iota).astype(jnp.bfloat16)
+                rows = rows + jnp.dot(
+                    oh, quadv_ref[c0:c0 + ct, :],
+                    preferred_element_type=jnp.float32)       # (BQ, 4D)
+            # fold the 4 bilinear slot coefficients (lane-replicated)
+            cexp = jnp.repeat(coef_ref[:, s * 4:(s + 1) * 4], d_head,
+                              axis=1)                          # (BQ, 4D)
+            acc = acc + cexp * rows
+    out_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spatial_shapes", "block_q", "block_t", "interpret"))
+def ms_deform_attn_mxu(value: jnp.ndarray,
+                       spatial_shapes: Tuple[Tuple[int, int], ...],
+                       sampling_locations: jnp.ndarray,
+                       attention_weights: jnp.ndarray,
+                       block_q: int = 256,
+                       block_t: int = 2048,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Pallas-MXU MSDA forward.
+
+    value (B, sum HW, M, D); sampling_locations (B, Q, M, L, P, 2) in
+    [0, 1]; attention_weights (B, Q, M, L, P).  Returns (B, Q, M*D).
+    """
+    from monosowa_tpu.ops.msda import _quad_slot_geometry, _quad_value
+
+    b, t_total, m, d = value.shape
+    q = sampling_locations.shape[1]
+    n_levels = len(spatial_shapes)
+    n_points = sampling_locations.shape[4]
+
+    # quad rows per level, concatenated on the token axis: (B, M, T, 4D)
+    quads, spans, start = [], [], 0
+    for h, w in spatial_shapes:
+        value_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
+        qv = _quad_value(value_l, w)                  # (B, T_l, M, 4, D)
+        quads.append(jnp.moveaxis(qv, 2, 1).reshape(b, m, h * w, 4 * d))
+        spans.append((start, h * w))
+        start += h * w
+    quadv = jnp.concatenate(quads, axis=2).astype(jnp.bfloat16)
+
+    # global anchor indices + slot coefficients per (level, point)
+    idxs, coefs = [], []
+    for li, (h, w) in enumerate(spatial_shapes):
+        flat00, slot_w, _, _ = _quad_slot_geometry(
+            sampling_locations[:, :, :, li], h, w, with_derivs=False)
+        coef = slot_w * attention_weights[:, :, :, li][..., None]
+        idxs.append(flat00 + spans[li][0])            # (B, Q, M, P)
+        coefs.append(coef)                            # (B, Q, M, P, 4)
+    idx = jnp.stack(idxs, 3)                          # (B, Q, M, L, P)
+    coef = jnp.stack(coefs, 3)                        # (B, Q, M, L, P, 4)
+    # -> (B, M, Q, L*P[*4]) blocks for the kernel
+    idx = jnp.moveaxis(idx, 2, 1).reshape(b, m, q, n_levels * n_points)
+    coef = jnp.moveaxis(coef, 2, 1).reshape(
+        b, m, q, n_levels * n_points * 4).astype(jnp.float32)
+
+    qp = -(-q // block_q) * block_q
+    if qp != q:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, qp - q), (0, 0)),
+                      constant_values=-1)
+        coef = jnp.pad(coef, ((0, 0), (0, 0), (0, qp - q), (0, 0)))
+
+    kernel = functools.partial(
+        _fwd_kernel, level_spans=tuple(spans), n_points=n_points,
+        block_t=block_t, d_head=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, m, qp // block_q),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, n_levels * n_points),
+                         lambda bi, mi, qi: (bi, mi, qi, 0)),
+            pl.BlockSpec((None, None, block_q, n_levels * n_points * 4),
+                         lambda bi, mi, qi: (bi, mi, qi, 0)),
+            pl.BlockSpec((None, None, t_total, 4 * d),
+                         lambda bi, mi, qi: (bi, mi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, None, block_q, 4 * d),
+                               lambda bi, mi, qi: (bi, mi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, m, qp, 4 * d), jnp.float32),
+        interpret=interpret,
+    )(idx, coef, quadv)
+
+    # slot-major (BQ, 4D) -> sum the 4 bilinear slots -> (B, Q, M*D)
+    out = out.reshape(b, m, qp, 4, d).sum(3)[:, :, :q]
+    return jnp.moveaxis(out, 1, 2).reshape(b, q, m * d)

@@ -1,0 +1,30 @@
+"""Pallas MXU one-hot MSDA forward vs the XLA core (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monosowa_tpu.ops.msda import ms_deform_attn
+from monosowa_tpu.ops.msda_mxu import ms_deform_attn_mxu
+
+SHAPES = ((12, 20), (6, 10), (3, 5))
+
+
+@pytest.mark.parametrize("q", [37, 256])
+def test_mxu_fwd_matches_xla(q):
+    rng = np.random.default_rng(0)
+    b, m, d, p = 2, 4, 8, 4
+    s = sum(h * w for h, w in SHAPES)
+    value = jnp.asarray(rng.normal(size=(b, s, m, d)).astype(np.float32))
+    loc = jnp.asarray(
+        rng.uniform(-0.1, 1.1, (b, q, m, len(SHAPES), p, 2))
+        .astype(np.float32))
+    w = jnp.asarray(
+        rng.uniform(0, 1, (b, q, m, len(SHAPES), p)).astype(np.float32))
+
+    ref = ms_deform_attn(value, SHAPES, loc, w, gather_mode="onehot",
+                         onehot_dtype="bfloat16", custom_vjp=False)
+    out = ms_deform_attn_mxu(value, SHAPES, loc, w, block_q=64,
+                             block_t=64, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-2, rtol=2e-2)

@@ -47,15 +47,58 @@ def main():
 
         if which in ("xla", "both"):
             from monosowa_tpu.ops.msda import ms_deform_attn
-            f = jax.jit(lambda v, l, a: ms_deform_attn(v, shapes, l, a))
-            t = bench(f, (value, loc, w))
-            print(f"xla fwd    {tag}: {t * 1e3:8.2f} ms")
 
-            def loss(v, l, a):
-                return jnp.sum(ms_deform_attn(v, shapes, l, a) ** 2)
-            g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
-            t = bench(g, (value, loc, w))
-            print(f"xla fwd+bwd {tag}: {t * 1e3:8.2f} ms")
+            # case spec: mode[:bwd_mode][/cq=N][/dvq=N][/v=f32] via
+            # MSDA_CASES="onehot,quad/cq=2048/dvq=1024,onehot:quad"
+            spec = os.environ.get(
+                "MSDA_CASES",
+                "quad/v=f32,quad,onehot/v=f32,onehot")
+            for case in spec.split(","):
+                parts = case.split("/")
+                mode = parts[0]
+                bwd_mode = ""
+                if ":" in mode:
+                    mode, bwd_mode = mode.split(":")
+                kw = dict(gather_mode=mode, bwd_gather_mode=bwd_mode,
+                          onehot_dtype=jnp.bfloat16)
+                vdt = jnp.bfloat16
+                for opt in parts[1:]:
+                    if opt == "v=f32":
+                        vdt = jnp.float32
+                        if mode == "quad" and "onehot" not in case:
+                            kw["onehot_dtype"] = jnp.float32
+                    elif opt.startswith("cq="):
+                        kw["chunk_q"] = int(opt[3:])
+                    elif opt.startswith("dvq="):
+                        kw["dv_chunk_q"] = int(opt[4:])
+                v_in = value.astype(vdt)
+                f = jax.jit(lambda v, l, a, kw=kw:
+                            ms_deform_attn(v, shapes, l, a, **kw))
+                t = bench(f, (v_in, loc, w))
+                print(f"xla fwd     {tag} [{case}]: {t * 1e3:8.2f} ms",
+                      flush=True)
+
+                def loss(v, l, a, kw=kw):
+                    return jnp.sum(ms_deform_attn(
+                        v, shapes, l, a, **kw).astype(jnp.float32) ** 2)
+                g = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))
+                t = bench(g, (v_in, loc, w))
+                print(f"xla fwd+bwd {tag} [{case}]: {t * 1e3:8.2f} ms",
+                      flush=True)
+
+        if which in ("mxu", "both"):
+            from monosowa_tpu.ops.msda_mxu import ms_deform_attn_mxu
+            for bq, bt in ((256, 2048), (512, 2048), (256, 4096)):
+                f = jax.jit(lambda v, l, a, bq=bq, bt=bt:
+                            ms_deform_attn_mxu(
+                                v, shapes, l, a, block_q=bq, block_t=bt))
+                try:
+                    t = bench(f, (value.astype(jnp.bfloat16), loc, w))
+                    print(f"mxu fwd     {tag} [bq={bq}/bt={bt}]: "
+                          f"{t * 1e3:8.2f} ms", flush=True)
+                except Exception as e:
+                    print(f"mxu fwd     {tag} [bq={bq}/bt={bt}]: FAILED "
+                          f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
         if which in ("pallas", "both"):
             from monosowa_tpu.ops.msda_pallas import ms_deform_attn_pallas

@@ -14,15 +14,18 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
 import numpy as np
-
-from monosowa_tpu.utils.jaxcache import enable_persistent_cache
-
-enable_persistent_cache("/tmp/jax_cache")
 
 
 def time_step(model, batch, iters, fwd_only=False):
+    # jax only ever loads in the CHILD: a parent holding an idle tunnel
+    # connection alongside the child's big program reliably fails the
+    # child's execution with an opaque INVALID_ARGUMENT (bench.py keeps
+    # its parent jax-free for the same reason)
+    import jax
+
+    from monosowa_tpu.utils.jaxcache import enable_persistent_cache
+    enable_persistent_cache("/tmp/jax_cache")
     from monosowa_tpu.train.optim import make_optimizer
     from monosowa_tpu.train.trainer import (init_state, make_eval_step,
                                             make_train_step)
@@ -51,7 +54,11 @@ def time_step(model, batch, iters, fwd_only=False):
     return float(np.median(times)), compile_s
 
 
+CASE_NAMES = ("full", "no_enc", "enc1", "dec1", "no_groups", "f32", "fwd")
+
+
 def make_cases():
+    # imports flax/jax -- child only (see time_step)
     from monosowa_tpu.models.monodetr import MonoDETR
     return {
         "full": MonoDETR(),
@@ -86,7 +93,7 @@ def main():
     # an opaque INVALID_ARGUMENT ~10-20% of the time and poisons the client
     import subprocess
     base = None
-    for name in make_cases():
+    for name in CASE_NAMES:
         if only and name not in only:
             continue
         dt = compile_s = None
