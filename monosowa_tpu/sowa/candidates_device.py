@@ -496,15 +496,25 @@ class DeviceExtractor:
         ``bank.BankRef`` descriptors (no per-point host data) and ``bank``
         is the DEVICE-resident (F_rows, M, cap, 3) camera-frame point bank
         (row order = the dispatch order of frames with any mask)."""
-        from monosowa_tpu.sowa.bank import BankRef
+        return self.extract_frames_banked_finish(
+            self.extract_frames_banked_begin(depths, masks_per_frame, cap))
 
+    def extract_frames_banked_begin(
+            self, depths: Sequence[np.ndarray],
+            masks_per_frame: Sequence[Sequence[np.ndarray]],
+            cap: int = 2048):
+        """Dispatch half of :meth:`extract_frames_banked`: uploads the
+        depth/mask chunks and enqueues the extraction kernels WITHOUT
+        pulling any result, so a caller can overlap the device work with
+        other host/device stages (pipeline.label_frames_stream).  Returns
+        an opaque state for :meth:`extract_frames_banked_finish`."""
         h, w = self.img_hw
         f_total = len(depths)
         results: List[Optional[dict]] = [None] * f_total
         todo = [i for i in range(f_total)
                 if depths[i] is not None and masks_per_frame[i]]
         if not todo:
-            return results, None
+            return (results, None, masks_per_frame, 0, 0)
 
         # bucket the mask-slot axis to the batch's real need: the upload
         # and the whole kernel scale with M, and most frames carry far
@@ -545,6 +555,17 @@ class DeviceExtractor:
                 self.cfg.max_distance_pseudo_lidar,
                 self.cfg.use_pseudo_lidar, cap)
             pending.append((chunk, meta_dev, bank_dev))
+        return (results, pending, masks_per_frame, mcap, g)
+
+    def extract_frames_banked_finish(self, state):
+        """Pull half of :meth:`extract_frames_banked`: ONE stacked meta
+        pull for every dispatched chunk, then host-side assembly of the
+        per-frame candidate dicts and the concatenated device bank."""
+        from monosowa_tpu.sowa.bank import BankRef
+
+        results, pending, masks_per_frame, mcap, g = state
+        if pending is None:
+            return results, None
 
         # every chunk is dispatched before ANY result is pulled; ONE
         # stacked meta pull pays a single tunnel round trip for the lot

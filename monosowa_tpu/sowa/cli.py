@@ -159,11 +159,9 @@ class KittiObjectDriver:
                 if job is None:
                     continue
                 pending.append(job)
-                if len(pending) >= group:
-                    n_done += labeler.label_frames(pending)
-                    pending = []
-            if pending:
-                n_done += labeler.label_frames(pending)
+            # 2-deep pipelined groups: group k+1's extraction dispatch
+            # overlaps group k's fit pull + label writing
+            n_done += labeler.label_frames_stream(pending, group_size=group)
         elif self.flags.generate_transformations_only:
             for fid in ids:
                 n_done += self._transforms_frame(fid)

@@ -363,10 +363,41 @@ class PseudoLabeler:
         Returns the number of frames written.  Designed so the TPU sees one
         large batch per group of frames instead of per-frame dispatches.
         """
-        cfg = self.cfg
-
         todo = [j for j in frame_jobs
                 if overwrite or not os.path.exists(j["out_path"])]
+        gen = self._label_frames_staged(todo)
+        next(gen)
+        return next(gen)
+
+    def label_frames_stream(self, frame_jobs: Sequence[dict],
+                            group_size: int = 8,
+                            overwrite: bool = False) -> int:
+        """Pipelined labelling of a long job list: groups of ``group_size``
+        frames run as a 2-deep software pipeline — group k+1's device
+        extraction is DISPATCHED before group k's fit results are pulled,
+        so each blocking host pull (a full tunnel round trip under remote
+        execution) overlaps useful device work instead of idling the chip.
+        Output is identical to per-group :meth:`label_frames` calls; only
+        the dispatch order changes."""
+        todo = [j for j in frame_jobs
+                if overwrite or not os.path.exists(j["out_path"])]
+        n = 0
+        prev = None
+        for g0 in range(0, len(todo), group_size):
+            cur = self._label_frames_staged(todo[g0:g0 + group_size])
+            next(cur)                       # stage A: dispatch extraction
+            if prev is not None:
+                n += next(prev)             # stages B+C of the previous
+            prev = cur
+        if prev is not None:
+            n += next(prev)
+        return n
+
+    def _label_frames_staged(self, todo: Sequence[dict]):
+        """Generator body of label_frames: yields once after the device
+        extraction DISPATCH (stage A), then runs collect/track/fit/write
+        and yields the number of frames written."""
+        cfg = self.cfg
         from concurrent.futures import ThreadPoolExecutor
 
         # phase A: camera-frame candidates, once per DISTINCT frame
@@ -393,6 +424,7 @@ class PseudoLabeler:
                         and not cfg.use_scale_detector
                         and not cfg.use_dimensions_estimation)
             bank = None
+            ext = ext_state = None
             if all("get_depth" in j for j in todo):
                 from monosowa_tpu.sowa.candidates_device import \
                     DeviceExtractor
@@ -407,12 +439,11 @@ class PseudoLabeler:
                     mk = j["get_masks"](k)
                     masks_pf.append(list(mk) if mk else [])
                 if use_bank:
-                    # bank mode (sowa/bank.py): points stay device-resident
-                    cands, bank = ext.extract_frames_banked(
+                    # bank mode (sowa/bank.py): points stay device-resident;
+                    # DISPATCH only — the meta pull happens after the stage
+                    # boundary so a streaming caller can overlap it
+                    ext_state = ext.extract_frames_banked_begin(
                         depths, masks_pf, cap=cfg.max_points)
-                    for fid, c in zip(fids, cands):
-                        cam_cache[fid] = c
-                    use_bank = bank is not None
                 else:
                     for fid, c in zip(fids,
                                       ext.extract_frames(depths, masks_pf)):
@@ -436,6 +467,16 @@ class PseudoLabeler:
                 else:
                     for fid in fids:
                         cam_cache[fid] = extract_one(fid)[1]
+        else:
+            ext = ext_state = None
+
+        yield None          # --- stage boundary: extraction dispatched ---
+
+        if ext_state is not None:
+            cands, bank = ext.extract_frames_banked_finish(ext_state)
+            for fid, c in zip(fids, cands):
+                cam_cache[fid] = c
+            use_bank = bank is not None
 
         quota = cfg.max_points // cfg.bank_slots
 
@@ -676,7 +717,7 @@ class PseudoLabeler:
             write_pseudo_label_file(out_path, cars)
             self._save_cars_cache(out_path, cars)
             n_written += 1
-        return n_written
+        yield n_written
 
 
 def mask_bbox(mask: np.ndarray) -> np.ndarray:

@@ -99,6 +99,44 @@ def test_fused_refit_matches_host_merge(tmp_path):
         _assert_same(a, b)
 
 
+def test_stream_matches_per_group(tmp_path):
+    """label_frames_stream (2-deep pipelined groups) must write byte-
+    identical labels to sequential per-group label_frames calls."""
+    window, n_frames = 2, 4
+    total = n_frames + 2 * window
+    scenes = [_scene(5 + k, BOXES_TWO) for k in range(total)]
+    offsets = list(range(-window, window + 1))
+    cfg = pipeline.PipelineConfig(
+        nscans_before=window, nscans_after=window, max_cars=8,
+        max_points=1024, min_standing_points=150,
+        fit=FitConfig(n_dx=12, n_dz=12, n_theta=12, n_theta_fine=45,
+                      fine_chunk=9))
+    labeler = pipeline.PseudoLabeler(cfg)
+
+    def jobs(tag):
+        out = []
+        for fi in range(window, window + n_frames):
+            out.append(dict(
+                out_path=str(tmp_path / f"{tag}_{fi:06d}.txt"),
+                window_frames=offsets,
+                frame_ids=[fi - window + k for k in range(len(offsets))],
+                get_points=(lambda k, fi=fi: None),
+                get_depth=(lambda k, fi=fi: scenes[fi - window + k][0]),
+                get_masks=(lambda k, fi=fi: scenes[fi - window + k][1]),
+                transforms=np.tile(np.eye(4), (len(offsets), 1, 1)),
+                p2=P2, img_hw=(H, W)))
+        return out
+
+    seq = jobs("seq")
+    assert labeler.label_frames(seq[:2]) == 2
+    assert labeler.label_frames(seq[2:]) == 2
+    assert labeler.label_frames_stream(jobs("str"), group_size=2) == 4
+    for fi in range(window, window + n_frames):
+        a = (tmp_path / f"seq_{fi:06d}.txt").read_text()
+        b = (tmp_path / f"str_{fi:06d}.txt").read_text()
+        assert a == b, fi
+
+
 def test_fused_refit_overflow_falls_back(tmp_path):
     """Two merge targets with refit_cap=1: the second target re-fits via
     the host fallback and the labels still match the cap=0 path."""

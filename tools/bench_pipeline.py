@@ -132,19 +132,22 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3):
     if do_profile:
         pr = cProfile.Profile()
         pr.enable()
-    dts = []
+    # steady state = the production driver shape: one pipelined stream
+    # over ``iters`` groups of n_frames (cli.py labels a sequence the same
+    # way), so group k+1's extraction overlaps group k's fit pull
+    stream_jobs = []
     for it in range(iters):
-        t0 = time.perf_counter()
-        n = labeler.label_frames(jobs(f"run{it}"))
-        dts.append(time.perf_counter() - t0)
-        if not quiet:
-            print(f"# e2e iter {it}: {n} frames in {dts[-1]:.2f}s")
-    dt = float(np.median(dts))
+        stream_jobs.extend(jobs(f"run{it}"))
+    t0 = time.perf_counter()
+    n = labeler.label_frames_stream(stream_jobs, group_size=n_frames)
+    dt = (time.perf_counter() - t0) / iters
+    n //= iters
     if do_profile:
         pr.disable()
         pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
     if not quiet:
-        print(f"label_frames: {n} frames in {dt:.2f}s = {n / dt:.2f} frames/s")
+        print(f"label_frames_stream: {n} frames/group in {dt:.2f}s "
+              f"= {n / dt:.2f} frames/s")
     return n / dt
 
 
