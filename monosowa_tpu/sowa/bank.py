@@ -54,6 +54,87 @@ class BankRef(NamedTuple):
     trunc: bool     # full mask touches the left/right image border
 
 
+@partial(jax.jit, static_argnames=("mask_cap",))
+def _arena_write(buf, chunk, row0, mask_cap):
+    """Copy an extraction chunk (g, m<=mask_cap, cap, 3) into the arena at
+    row ``row0`` (device scalar).  One program per distinct chunk shape."""
+    m = chunk.shape[1]
+    if m < mask_cap:
+        chunk = jnp.pad(chunk, ((0, 0), (0, mask_cap - m), (0, 0), (0, 0)))
+    return jax.lax.dynamic_update_slice(buf, chunk, (row0, 0, 0, 0))
+
+
+class BankArena:
+    """Fixed-capacity device-resident pool of extraction-chunk banks.
+
+    label_frames_stream shares per-frame extractions across overlapping
+    window groups; rebuilding each group's bank by concatenating whatever
+    chunk set it happens to reference gives a DIFFERENT bank row count per
+    group — and every distinct row count is a fresh jit signature for the
+    fused fit+NMS program (multi-second lowering + compile per group even
+    with a warm persistent cache; measured as the dominant steady-state
+    cost on the remote tunnel).  The arena keeps ONE device buffer of
+    ``n_blocks`` g-row blocks: chunks are copied in with a single
+    dynamic_update_slice, BankRef rows are global arena rows (stable for
+    a frame's whole lifetime), and the fit program always gathers from
+    the same (R, M, cap, 3) shape.
+
+    Blocks are freed when every frame id they carry has been evicted
+    from the extraction cache; the buffer doubles (rows preserved) on
+    overflow, so the fit signature changes at most O(log groups) times.
+    """
+
+    def __init__(self, block_rows: int, mask_cap: int, point_cap: int,
+                 n_blocks: int):
+        self.g = int(block_rows)
+        self.mask_cap = int(mask_cap)
+        self.cap = int(point_cap)
+        self.n_blocks = max(1, int(n_blocks))
+        self.buf = jnp.zeros(
+            (self.n_blocks * self.g, self.mask_cap, self.cap, 3),
+            jnp.float32)
+        self.free = list(range(self.n_blocks))
+        self.live: dict = {}        # block -> set of fids
+        self.fid_block: dict = {}   # fid -> block
+
+    def _grow(self) -> None:
+        old_rows = self.n_blocks * self.g
+        self.free.extend(range(self.n_blocks, 2 * self.n_blocks))
+        self.n_blocks *= 2
+        buf = jnp.zeros((self.n_blocks * self.g, self.mask_cap, self.cap, 3),
+                        jnp.float32)
+        self.buf = jax.lax.dynamic_update_slice(buf, self.buf, (0, 0, 0, 0))
+        del old_rows
+
+    def write(self, chunk_bank, fids: Sequence) -> int:
+        """Copy one chunk into a free block; returns the block's row0.
+        ``fids`` are the frame ids whose rows live in this chunk (row
+        row0+k belongs to fids[k])."""
+        if not self.free:
+            self._grow()
+        blk = min(self.free)
+        self.free.remove(blk)
+        row0 = blk * self.g
+        self.buf = _arena_write(self.buf, chunk_bank,
+                                jnp.int32(row0), self.mask_cap)
+        self.live[blk] = set(fids)
+        for f in fids:
+            self.fid_block[f] = blk
+        return row0
+
+    def release(self, fid) -> None:
+        """Mark ``fid``'s arena row dead; frees its block when the whole
+        chunk is dead."""
+        blk = self.fid_block.pop(fid, None)
+        if blk is None:
+            return
+        s = self.live[blk]
+        s.discard(fid)
+        if not s:
+            del self.live[blk]
+            self.free.append(blk)
+
+
 def transform_candidates_bank(cand: dict, t_cur_to_ref: np.ndarray,
                               thr: int) -> Optional[dict]:
     """Window transform for bank candidates: centers move, BankRefs don't.

@@ -563,6 +563,27 @@ class DeviceExtractor:
         per-frame candidate dicts and the concatenated device bank."""
         from monosowa_tpu.sowa.bank import BankRef
 
+        results, chunk_refs = self.extract_frames_banked_finish_chunks(state)
+        if chunk_refs is None:
+            return results, None
+        banks = [b for b, _ in chunk_refs]
+        off = {id(b): i * banks[0].shape[0] for i, b in enumerate(banks)}
+        for r in results:
+            if r is None:
+                continue
+            r["points"] = [BankRef(row=off[id(b)] + k, mi=mi, count=c,
+                                   trunc=t)
+                           for (b, k, mi, c, t) in r.pop("chunk_refs")]
+        return results, jnp.concatenate(banks, axis=0)
+
+    def extract_frames_banked_finish_chunks(self, state):
+        """Like :meth:`extract_frames_banked_finish` but chunk-granular:
+        per-frame dicts carry ``chunk_refs`` = [(bank_dev, k, mi, count,
+        trunc)] referencing each chunk's OWN device bank (frame_bucket
+        rows each) instead of a concatenated one.  Lets a caller cache
+        extractions across label_frames groups and rebuild a group bank
+        from whichever chunks it still needs (pipeline.label_frames_stream).
+        Returns (results, [(bank_dev, fids)] or None)."""
         results, pending, masks_per_frame, mcap, g = state
         if pending is None:
             return results, None
@@ -570,29 +591,26 @@ class DeviceExtractor:
         # every chunk is dispatched before ANY result is pulled; ONE
         # stacked meta pull pays a single tunnel round trip for the lot
         meta_all = np.asarray(jnp.concatenate([p[1] for p in pending], 0))
-        banks = []
-        row0 = 0
+        chunk_refs = []
         for ci, (chunk, meta_dev, bank_dev) in enumerate(pending):
             meta = meta_all[ci * g:(ci + 1) * g]
-            banks.append(bank_dev)
+            chunk_refs.append((bank_dev, list(chunk)))
             for k, fi in enumerate(chunk):
                 locs, refs, masks_out = [], [], []
                 for mi, mask in enumerate(masks_per_frame[fi][:mcap]):
                     if meta[k, mi, 3] <= 0.5:
                         continue
                     locs.append(meta[k, mi, :3])
-                    refs.append(BankRef(row=row0 + k, mi=mi,
-                                        count=int(meta[k, mi, 4]),
-                                        trunc=bool(meta[k, mi, 5] > 0.5)))
+                    refs.append((bank_dev, k, mi, int(meta[k, mi, 4]),
+                                 bool(meta[k, mi, 5] > 0.5)))
                     masks_out.append(mask)
                 if locs:
                     results[fi] = {"locations": np.stack(locs),
-                                   "points": refs, "masks": masks_out}
+                                   "chunk_refs": refs, "masks": masks_out}
                 else:
                     results[fi] = {"locations": np.zeros((0, 3), np.float32),
-                                   "points": [], "masks": []}
-            row0 += g
-        return results, jnp.concatenate(banks, axis=0)
+                                   "chunk_refs": [], "masks": []}
+        return results, chunk_refs
 
     def extract_frames(self, depths: Sequence[np.ndarray],
                        masks_per_frame: Sequence[Sequence[np.ndarray]]

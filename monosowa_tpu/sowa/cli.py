@@ -329,10 +329,36 @@ class KittiObjectDriver:
         window, get_points, get_masks, transforms = self._window_accessors(fid)
         calib = self._calib(fid)
         img_hw = self._image_hw(fid)
-        return dict(out_path=os.path.join(self.labels_path, f"{fid}.txt"),
-                    window_frames=window, get_points=get_points,
-                    get_masks=get_masks, transforms=transforms,
-                    p2=calib.P2, img_hw=img_hw)
+        job = dict(out_path=os.path.join(self.labels_path, f"{fid}.txt"),
+                   window_frames=window, get_points=get_points,
+                   get_masks=get_masks, transforms=transforms,
+                   p2=calib.P2, img_hw=img_hw)
+        # global window-frame ids: overlapping windows (and consecutive
+        # stream groups) then share each frame's candidate extraction
+        try:
+            base = int(fid)
+            job["frame_ids"] = [base + k for k in window]
+        except ValueError:
+            job["frame_ids"] = [f"{fid}{k:+d}" for k in window]
+        # per-window depth-map cache (depth_maps/<fid>/{offset:+d}.npz,
+        # canonical scale like the flat per-frame maps) -> the whole
+        # extraction runs device-side in bank mode
+        dm_dir = os.path.join(self.cache, "depth_maps", fid)
+        if os.path.isdir(dm_dir):
+            fu = float(calib.P2[0, 0])
+
+            def get_depth(k, dm_dir=dm_dir, fu=fu, window=window):
+                p = os.path.join(dm_dir, f"{window[k]:+d}.npz")
+                if not os.path.exists(p):
+                    return None
+                with np.load(p) as z:
+                    d = z["depth"]
+                return np.clip(
+                    d.astype(np.float32) * (fu / depth_mod.CANONICAL_FOCAL),
+                    0.0, depth_mod.MAX_DEPTH)
+
+            job["get_depth"] = get_depth
+        return job
 
     def _optimize_frame(self, labeler: PseudoLabeler, fid: str) -> int:
         out = os.path.join(self.labels_path, f"{fid}.txt")

@@ -89,6 +89,11 @@ class PipelineConfig:
     template_mesh_dir: Optional[str] = None
 
 
+# sentinel marking a frame whose device extraction is dispatched but not
+# yet collected (see _label_frames_staged / label_frames_stream)
+_EXT_PENDING = object()
+
+
 class PseudoLabeler:
     """Holds the template bank + fields; labels one reference frame at a
     time from per-frame point/mask/transform accessors."""
@@ -107,6 +112,26 @@ class PseudoLabeler:
         # conv-grid kernels: the MXU fitting path (ops/tfl.py ConvGridSpec)
         self.conv_spec, self.occ_kernels, self.memb_kernels = \
             make_conv_kernels(self.bank.points[0], cfg.fit)
+        # cross-group device-extraction cache (bank mode): fid -> chunk
+        # refs + metadata; label_frames_stream evicts finished fids, plain
+        # label_frames clears it per call
+        self._ext_cache = None
+
+    def evict_extractions(self, keep_fids=None) -> None:
+        """Drop cached per-frame extractions and release their arena rows
+        (a block frees once its whole chunk is dead).  keep_fids=None
+        clears every entry but KEEPS the arena buffer, so repeated
+        label_frames calls reuse the same fit-program signature."""
+        if self._ext_cache is None:
+            return
+        cands = self._ext_cache["cands"]
+        arena = self._ext_cache.get("arena")
+        drop = (list(cands) if keep_fids is None
+                else [f for f in cands if f not in keep_fids])
+        for fid in drop:
+            del cands[fid]
+            if arena is not None:
+                arena.release(fid)
 
     # ------------------------------------------------------------------
     def label_frame(self, window_frames: Sequence[int], ref_offset_index: int,
@@ -367,7 +392,10 @@ class PseudoLabeler:
                 if overwrite or not os.path.exists(j["out_path"])]
         gen = self._label_frames_staged(todo)
         next(gen)
-        return next(gen)
+        try:
+            return next(gen)
+        finally:
+            self.evict_extractions()
 
     def label_frames_stream(self, frame_jobs: Sequence[dict],
                             group_size: int = 8,
@@ -381,16 +409,30 @@ class PseudoLabeler:
         the dispatch order changes."""
         todo = [j for j in frame_jobs
                 if overwrite or not os.path.exists(j["out_path"])]
+        groups = [todo[g0:g0 + group_size]
+                  for g0 in range(0, len(todo), group_size)]
+        # fids still needed AFTER group gi finishes (groups > gi + the one
+        # already dispatched) — everything else is evicted as we go
+        needed_after = [set() for _ in groups]
+        for gi in range(len(groups) - 2, -1, -1):
+            needed_after[gi] = set(needed_after[gi + 1])
+            for j in groups[gi + 1]:
+                needed_after[gi].update(j.get("frame_ids", ()))
         n = 0
         prev = None
-        for g0 in range(0, len(todo), group_size):
-            cur = self._label_frames_staged(todo[g0:g0 + group_size])
-            next(cur)                       # stage A: dispatch extraction
+        try:
+            for gi, group in enumerate(groups):
+                cur = self._label_frames_staged(group)
+                next(cur)                   # stage A: dispatch extraction
+                if prev is not None:
+                    n += next(prev)         # stages B+C of the previous
+                    # keep = the dispatched group + everything later
+                    self.evict_extractions(needed_after[gi - 1])
+                prev = cur
             if prev is not None:
-                n += next(prev)             # stages B+C of the previous
-            prev = cur
-        if prev is not None:
-            n += next(prev)
+                n += next(prev)
+        finally:
+            self.evict_extractions()
         return n
 
     def _label_frames_staged(self, todo: Sequence[dict]):
@@ -425,15 +467,38 @@ class PseudoLabeler:
                         and not cfg.use_dimensions_estimation)
             bank = None
             ext = ext_state = None
+            new_fids = []
+            arena_rows = {}     # chunk bank id -> its arena row0 (stage A)
             if all("get_depth" in j for j in todo):
                 from monosowa_tpu.sowa.candidates_device import \
                     DeviceExtractor
                 j0 = todo[0]
-                ext = DeviceExtractor(np.asarray(j0["p2"], np.float32),
-                                      tuple(j0["img_hw"]), cfg.candidate,
+                p2 = np.asarray(j0["p2"], np.float32)
+                ext = DeviceExtractor(p2, tuple(j0["img_hw"]), cfg.candidate,
                                       max_masks=cfg.max_cars)
+                if use_bank:
+                    # cross-group extraction cache: overlapping windows of
+                    # CONSECUTIVE stream groups share most frames — only
+                    # fids never extracted (under this calibration) are
+                    # dispatched; label_frames_stream owns eviction
+                    sig = (p2.tobytes(), tuple(j0["img_hw"]),
+                           cfg.max_points)
+                    if not (self._ext_cache
+                            and self._ext_cache["sig"] == sig):
+                        self._ext_cache = {"sig": sig, "cands": {}}
+                    cached = self._ext_cache["cands"]
+                    new_fids = [f for f in fids if f not in cached]
+                    # mark in-flight fids so the NEXT group's stage A (which
+                    # runs before this group's collect under the stream's
+                    # 2-deep schedule) doesn't re-dispatch the overlap; the
+                    # owner group's stage B always runs first and replaces
+                    # the sentinel with the real entry
+                    for f in new_fids:
+                        cached[f] = _EXT_PENDING
+                else:
+                    new_fids = list(fids)
                 depths, masks_pf = [], []
-                for fid in fids:
+                for fid in new_fids:
                     j, k = tasks[fid]
                     depths.append(j["get_depth"](k))
                     mk = j["get_masks"](k)
@@ -444,8 +509,26 @@ class PseudoLabeler:
                     # boundary so a streaming caller can overlap it
                     ext_state = ext.extract_frames_banked_begin(
                         depths, masks_pf, cap=cfg.max_points)
+                    # copy each chunk into the persistent arena NOW (still
+                    # stage A): BankRef rows become global arena rows and
+                    # the fit program's bank shape stays constant across
+                    # groups (see bank.BankArena)
+                    pending = ext_state[1]
+                    if pending is not None:
+                        from monosowa_tpu.sowa import bank as bank_mod
+                        arena = self._ext_cache.get("arena")
+                        if arena is None:
+                            nb = 2 * (-(-len(fids) // ext.frame_bucket)) + 4
+                            arena = bank_mod.BankArena(
+                                ext.frame_bucket, ext.max_masks,
+                                cfg.max_points, nb)
+                            self._ext_cache["arena"] = arena
+                        arena_rows = {
+                            id(bank_dev): arena.write(
+                                bank_dev, [new_fids[fi] for fi in chunk])
+                            for (chunk, _m, bank_dev) in pending}
                 else:
-                    for fid, c in zip(fids,
+                    for fid, c in zip(new_fids,
                                       ext.extract_frames(depths, masks_pf)):
                         cam_cache[fid] = c
             else:
@@ -473,8 +556,27 @@ class PseudoLabeler:
         yield None          # --- stage boundary: extraction dispatched ---
 
         if ext_state is not None:
-            cands, bank = ext.extract_frames_banked_finish(ext_state)
-            for fid, c in zip(fids, cands):
+            from monosowa_tpu.sowa.bank import BankRef
+            new_res, _ = ext.extract_frames_banked_finish_chunks(ext_state)
+            cached = self._ext_cache["cands"]
+            # cached entries carry FINAL BankRefs: rows are global arena
+            # rows (chunk row0 from stage A's arena.write + in-chunk k),
+            # valid for the frame's whole cache lifetime — every group's
+            # fit gathers from the one fixed-shape arena buffer, so the
+            # fused fit program compiles once per arena size
+            for fid, c in zip(new_fids, new_res):
+                if c is not None:
+                    c = {"locations": c["locations"], "masks": c["masks"],
+                         "points": [BankRef(row=arena_rows[id(bdev)] + k,
+                                            mi=mi, count=cnt, trunc=tr)
+                                    for (bdev, k, mi, cnt, tr)
+                                    in c["chunk_refs"]]}
+                cached[fid] = c
+            arena = self._ext_cache.get("arena")
+            bank = arena.buf if arena is not None else None
+            for fid in fids:
+                c = cached.get(fid)
+                assert c is not _EXT_PENDING, fid
                 cam_cache[fid] = c
             use_bank = bank is not None
 
@@ -565,8 +667,12 @@ class PseudoLabeler:
         if all_tracks and use_bank:
             from monosowa_tpu.sowa import bank as bank_mod
             # bucket the bank's frame-row count for compile-cache stability
+            # (the arena keeps it constant between grows; bucketing also
+            # covers the non-arena extract_frames_banked path — every
+            # distinct row count is a multi-minute remote recompile of the
+            # fused fit program)
             frows = bank.shape[0]
-            fpad = -(-frows // 8) * 8 - frows
+            fpad = -(-frows // 32) * 32 - frows
             bank_b = (jnp.pad(bank, ((0, fpad), (0, 0), (0, 0), (0, 0)))
                       if fpad else bank)
             l0, w0, h0 = cfg.template_dims_lwh

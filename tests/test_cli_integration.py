@@ -123,3 +123,35 @@ def test_optimization_action_writes_labels(dataset):
     cli.main(["--config", dataset["cfg"], "--dataset", "kitti",
               "--action", "optimization"])
     assert label_file.stat().st_mtime_ns == before
+
+
+def test_optimize_job_device_fields(dataset):
+    """_optimize_job supplies global frame_ids (shared-extraction key) and,
+    when a per-window depth-map cache exists, a get_depth that
+    de-canonicalizes exactly like pseudo_lidar_from_depth."""
+    import shutil
+
+    from monosowa_tpu.config import Config, load_config
+    from monosowa_tpu.sowa.cli import KittiObjectDriver, PipelineFlags
+
+    driver = KittiObjectDriver(load_config(dataset["cfg"]),
+                               PipelineFlags("optimization"))
+    fid = dataset["fid"]
+    job = driver._optimize_job(fid)
+    assert job["frame_ids"] == [int(fid)]
+    assert "get_depth" not in job
+
+    dm_dir = dataset["cache"] / "depth_maps" / fid
+    dm_dir.mkdir(parents=True)
+    try:
+        rng = np.random.default_rng(3)
+        canon = rng.uniform(1.0, 80.0, (H, W)).astype(np.float32)
+        np.savez_compressed(dm_dir / "+0.npz", depth=canon)
+        job = driver._optimize_job(fid)
+        d = job["get_depth"](0)
+        fu = P2[0, 0]
+        np.testing.assert_allclose(
+            d, np.clip(canon * (fu / 1000.0), 0.0, 300.0), rtol=1e-6)
+        assert job["get_depth"](0) is not None
+    finally:
+        shutil.rmtree(dm_dir)

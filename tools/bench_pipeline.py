@@ -85,15 +85,17 @@ def make_sequence(n_frames=8, window=6, seed=0):
 
 
 def run(n_frames=8, do_profile=False, quiet=False, iters=3):
-    """Times label_frames over ``n_frames`` full-size frames; returns
-    steady-state frames/s (median of ``iters`` warm passes — single passes
-    jitter badly on the remote-execution tunnel)."""
+    """Times a pipelined label_frames_stream over ``iters * n_frames``
+    CONSECUTIVE full-size frames (group size n_frames) — the production
+    driver shape, windows naturally shared between neighbouring groups.
+    Returns steady-state frames/s."""
     from monosowa_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache("/tmp/jax_cache")
     from monosowa_tpu.sowa import pipeline
     from monosowa_tpu.sowa.fitting import FitConfig
 
-    frames, window = make_sequence(n_frames)
+    total_frames = n_frames * iters
+    frames, window = make_sequence(total_frames)
     cfg = pipeline.PipelineConfig(
         nscans_before=window, nscans_after=window, max_cars=16,
         max_points=2048, min_standing_points=400,
@@ -103,9 +105,10 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3):
     tmp = tempfile.mkdtemp()
     offsets = list(range(-window, window + 1))
 
-    def jobs(tag):
+    def jobs(tag, lo=0, hi=None):
         out = []
-        for fi in range(window, window + n_frames):
+        for fi in range(window + lo, window + (hi if hi is not None
+                                               else total_frames)):
             ref_z = frames[fi]["ego_z"]
             transforms = []
             for k in offsets:
@@ -122,37 +125,38 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3):
                 transforms=np.stack(transforms), p2=P2, img_hw=(H, W)))
         return out
 
-    # warmup (compiles) at the same job count -> same bucketed shapes
+    # warmup: one full identical stream — compiles/loads every program the
+    # stream shape needs (incl. the per-group car-count buckets) and pays
+    # the once-per-process jaxpr lowering, which a production run over
+    # thousands of frames amortizes to nothing
     t0 = time.perf_counter()
-    labeler.label_frames(jobs("warm"))
+    labeler.label_frames_stream(jobs("warm"), group_size=n_frames)
     if not quiet:
-        print(f"# warmup ({n_frames} frames, compiles): "
+        print(f"# warmup stream ({total_frames} frames, compiles): "
               f"{time.perf_counter() - t0:.1f}s")
 
     if do_profile:
         pr = cProfile.Profile()
         pr.enable()
-    # steady state = the production driver shape: one pipelined stream
-    # over ``iters`` groups of n_frames (cli.py labels a sequence the same
-    # way), so group k+1's extraction overlaps group k's fit pull
-    stream_jobs = []
-    for it in range(iters):
-        stream_jobs.extend(jobs(f"run{it}"))
+    # steady state = the production driver shape: one pipelined stream of
+    # consecutive frames in n_frames-sized groups (cli.py labels a
+    # sequence the same way) — group k+1's extraction overlaps group k's
+    # fit pull, and overlapping windows share cached extractions
     t0 = time.perf_counter()
-    n = labeler.label_frames_stream(stream_jobs, group_size=n_frames)
-    dt = (time.perf_counter() - t0) / iters
-    n //= iters
+    n = labeler.label_frames_stream(jobs("run"), group_size=n_frames)
+    dt = time.perf_counter() - t0
     if do_profile:
         pr.disable()
         pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
     if not quiet:
-        print(f"label_frames_stream: {n} frames/group in {dt:.2f}s "
+        print(f"label_frames_stream: {n} frames in {dt:.2f}s "
               f"= {n / dt:.2f} frames/s")
     return n / dt
 
 
 def main():
-    n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    pos = [a for a in sys.argv[1:] if not a.startswith("-")]
+    n_frames = int(pos[0]) if pos else 8
     run(n_frames, do_profile="--profile" in sys.argv)
 
 
