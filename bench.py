@@ -152,8 +152,21 @@ def bench_train():
 
     rng = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
-    state, losses = step(state, batch, rng)
-    total = float(losses["loss_total"])     # host pull = trustworthy sync
+    try:
+        state, losses = step(state, batch, rng)
+        total = float(losses["loss_total"])  # host pull = trustworthy sync
+    except Exception as e:
+        # the default TPU MSDA backend is the Pallas MXU kernel; the
+        # remote Pallas compile service has a history of rejecting
+        # programs wholesale (HTTP 500) — fall back to the pure-XLA
+        # one-hot backend in-process rather than losing the metric
+        print(f"# train first step FAILED ({str(e)[:160]}) — retrying "
+              "with MSDA_TPU_BACKEND=onehot", file=sys.stderr, flush=True)
+        os.environ["MSDA_TPU_BACKEND"] = "onehot"
+        step = make_train_step(model)
+        t0 = time.perf_counter()
+        state, losses = step(state, batch, rng)
+        total = float(losses["loss_total"])
     print(f"# train compile+first step: {time.perf_counter() - t0:.1f}s "
           f"(loss {total:.3f})", file=sys.stderr)
 

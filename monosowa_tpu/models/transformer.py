@@ -27,6 +27,7 @@ reference runs fixed 1280x384 inputs where masks are always all-valid
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
@@ -57,7 +58,9 @@ class MSDeformAttnModule(nn.Module):
     n_levels: int = 4
     n_heads: int = 8
     n_points: int = 4
-    backend: str = "xla"   # "xla" (gather core) or "pallas" (VMEM kernel)
+    backend: str = "xla"   # "xla"/"onehot" (gather/one-hot XLA cores),
+    # "mxu" (fused Pallas one-hot kernel), "pallas" (scalar VMEM kernel,
+    # retired from the train path), "auto" (mxu on TPU, xla elsewhere)
     dtype: Any = None
 
     @nn.compact
@@ -100,12 +103,20 @@ class MSDeformAttnModule(nn.Module):
 
         backend = self.backend
         if backend == "auto":
-            # the one-hot MXU row fetch beats serialized gathers on TPU
-            # (measured: full step 2.54 -> 2.09 s) but is a dense-FLOP
-            # disaster on CPU — resolve per platform at trace time
-            backend = ("onehot" if jax.default_backend() == "tpu"
-                       else "xla")
-        if backend == "pallas":
+            # dense row fetches beat serialized gathers on TPU but are a
+            # dense-FLOP disaster on CPU — resolve per platform at trace
+            # time.  On TPU the fused Pallas one-hot kernel ("mxu",
+            # measured 269 -> 73 ms per encoder-layer forward on v5e) is
+            # the default; MSDA_TPU_BACKEND=onehot falls back to the
+            # pure-XLA row fetch if the Pallas toolchain misbehaves
+            # (bench.py does this automatically on a failed first step).
+            backend = (os.environ.get("MSDA_TPU_BACKEND", "mxu")
+                       if jax.default_backend() == "tpu" else "xla")
+        if backend == "mxu":
+            out = ms_deform_attn(value, spatial_shapes, loc, weights,
+                                 gather_mode="mxu",
+                                 onehot_dtype="bfloat16")
+        elif backend == "pallas":
             from monosowa_tpu.ops.msda_pallas import ms_deform_attn_pallas
             out = ms_deform_attn_pallas(value, tuple(spatial_shapes), loc,
                                         weights)

@@ -45,6 +45,13 @@ def _fwd_kernel(idx_ref, coef_ref, quadv_ref, out_ref, *,
     """
     bq = idx_ref.shape[0]
     acc = jnp.zeros((bq, 4 * d_head), jnp.float32)
+    # slot-coefficient expansion (BQ, 4) -> (BQ, 4D) as a tiny
+    # block-diagonal-ones matmul: jnp.repeat/broadcast+reshape on the
+    # lane axis fail Mosaic lowering (remote compile helper exit 1),
+    # but an iota-built constant dot lowers fine and rides the MXU.
+    r4 = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d_head), 0)
+    c4l = jax.lax.broadcasted_iota(jnp.int32, (4, 4 * d_head), 1) // d_head
+    expand = (r4 == c4l).astype(jnp.float32)              # (4, 4D)
     for li, (t0, tl) in enumerate(level_spans):
         for p in range(n_points):
             s = li * n_points + p
@@ -59,8 +66,8 @@ def _fwd_kernel(idx_ref, coef_ref, quadv_ref, out_ref, *,
                     oh, quadv_ref[c0:c0 + ct, :],
                     preferred_element_type=jnp.float32)       # (BQ, 4D)
             # fold the 4 bilinear slot coefficients (lane-replicated)
-            cexp = jnp.repeat(coef_ref[:, s * 4:(s + 1) * 4], d_head,
-                              axis=1)                          # (BQ, 4D)
+            cexp = jnp.dot(coef_ref[:, s * 4:(s + 1) * 4], expand,
+                           preferred_element_type=jnp.float32)  # (BQ, 4D)
             acc = acc + cexp * rows
     out_ref[:] = acc
 
@@ -74,12 +81,17 @@ def ms_deform_attn_mxu(value: jnp.ndarray,
                        attention_weights: jnp.ndarray,
                        block_q: int = 256,
                        block_t: int = 2048,
-                       interpret: bool = False) -> jnp.ndarray:
+                       interpret=None) -> jnp.ndarray:
     """Pallas-MXU MSDA forward.
 
     value (B, sum HW, M, D); sampling_locations (B, Q, M, L, P, 2) in
     [0, 1]; attention_weights (B, Q, M, L, P).  Returns (B, Q, M*D).
+
+    interpret=None resolves to True off-TPU (Mosaic kernels only lower
+    for TPU; CPU tests and accidental CPU use run the interpreter).
     """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     from monosowa_tpu.ops.msda import _quad_slot_geometry, _quad_value
 
     b, t_total, m, d = value.shape

@@ -28,3 +28,35 @@ def test_mxu_fwd_matches_xla(q):
                              block_t=64, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
+
+
+def test_mxu_custom_vjp_path():
+    """gather_mode="mxu" through the public API: Pallas forward (interpret
+    off-TPU) + the analytic quad backward; grads match the all-XLA path."""
+    import jax
+
+    rng = np.random.default_rng(1)
+    b, q, m, d, p = 2, 37, 4, 8, 4
+    s = sum(h * w for h, w in SHAPES)
+    value = jnp.asarray(rng.normal(size=(b, s, m, d)).astype(np.float32))
+    loc = jnp.asarray(
+        rng.uniform(0.05, 0.95, (b, q, m, len(SHAPES), p, 2))
+        .astype(np.float32))
+    w = jnp.asarray(
+        rng.uniform(0, 1, (b, q, m, len(SHAPES), p)).astype(np.float32))
+
+    def loss(fn):
+        return lambda v, l, a: jnp.sum(fn(v, l, a).astype(jnp.float32) ** 2)
+
+    mxu = lambda v, l, a: ms_deform_attn(v, SHAPES, l, a, gather_mode="mxu")
+    ref = lambda v, l, a: ms_deform_attn(v, SHAPES, l, a, gather_mode="quad")
+
+    np.testing.assert_allclose(np.asarray(mxu(value, loc, w)),
+                               np.asarray(ref(value, loc, w)),
+                               atol=2e-2, rtol=2e-2)
+    g_mxu = jax.grad(loss(mxu), argnums=(0, 1, 2))(value, loc, w)
+    g_ref = jax.grad(loss(ref), argnums=(0, 1, 2))(value, loc, w)
+    for gm, gr in zip(g_mxu, g_ref):
+        scale = max(float(jnp.abs(gr).max()), 1e-6)
+        np.testing.assert_allclose(np.asarray(gm) / scale,
+                                   np.asarray(gr) / scale, atol=3e-2)
