@@ -301,6 +301,29 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
              if gather_mode in ("quad", "onehot") else None)
 
     # ---- dLoc / dW ------------------------------------------------------
+    if gather_mode == "mxu":
+        # fused Pallas regather: the (BQ, 4D) row fetch + dout contraction
+        # never stage through HBM (ops/msda_mxu.py msda_gdot_mxu); the
+        # bilinear-derivative folds below are cheap elementwise einsums
+        from monosowa_tpu.ops.msda_mxu import msda_gdot_mxu
+        gdot = msda_gdot_mxu(value, tuple(tuple(x) for x in spatial_shapes),
+                             loc, dout_r)                # (B,Q,M,L,P,4)
+        dls, dws = [], []
+        for lvl, (h, w_l) in enumerate(spatial_shapes):
+            _, slot_w, slot_dwx, slot_dwy = _quad_slot_geometry(
+                loc[:, :, :, lvl], h, w_l)
+            g = gdot[:, :, :, lvl]
+            aw_l = w[:, :, :, lvl]
+            dw_l = jnp.einsum("bqmps,bqmps->bqmp", slot_w, g)
+            dx_l = aw_l * w_l * jnp.einsum("bqmps,bqmps->bqmp",
+                                           slot_dwx, g)
+            dy_l = aw_l * h * jnp.einsum("bqmps,bqmps->bqmp", slot_dwy, g)
+            dls.append(jnp.stack([dx_l, dy_l], -1))
+            dws.append(dw_l)
+        dloc = jnp.stack(dls, 3)
+        dw = jnp.stack(dws, 3)
+        return _msda_dvalue(value, spatial_shapes, loc, w, dout_r,
+                            dv_chunk_q, onehot_dtype), dloc, dw
     def locw_chunk(args):
         loc_c, aw_c, do_c = args      # (B,C,M,L,P,2) (B,C,M,L,P) (B,C,M,D)
         dls, dws = [], []
@@ -346,7 +369,18 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
     dw = jnp.moveaxis(dw_chunks, 0, 1).reshape(
         (b, qp) + dw_chunks.shape[3:])[:, :q]
 
-    # ---- dValue ----------------------------------------------------------
+    return (_msda_dvalue(value, spatial_shapes, loc, w, dout_r, dv_chunk_q,
+                         onehot_dtype, gather_mode), dloc, dw)
+
+
+def _msda_dvalue(value, spatial_shapes, loc, w, dout_r, dv_chunk_q,
+                 onehot_dtype, gather_mode="quad"):
+    """dValue: dense one-hot formulation of the scatter-add (see
+    _msda_bwd docstring); the anchor-only quad variant serves the
+    "quad"/"onehot"/"mxu" modes, per-corner serves the rest."""
+    b, _, m, d = value.shape
+    q = loc.shape[1]
+    n_points = loc.shape[4]
     locs_v, wts_v, douts_v = _chunk_leading_q((loc, w, dout_r), q, dv_chunk_q)
     dvalue_levels = []
     for lvl, (h, w_l) in enumerate(spatial_shapes):
@@ -426,8 +460,7 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
                 jnp.zeros((b, m, t_l, d), jnp.float32),
                 (locs_v, wts_v, douts_v))
         dvalue_levels.append(jnp.moveaxis(dv_l, 1, 2))    # (B,T,M,D)
-    dvalue = jnp.concatenate(dvalue_levels, 1).astype(value.dtype)
-    return dvalue, dloc, dw
+    return jnp.concatenate(dvalue_levels, 1).astype(value.dtype)
 
 
 @functools.lru_cache(maxsize=None)
@@ -443,7 +476,7 @@ def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...], chunk_q: int,
 
         def fwd_fn(value, loc, w):
             return ms_deform_attn_mxu(value, spatial_shapes, loc, w)
-        bwd_mode = bwd_gather_mode or "quad"
+        bwd_mode = bwd_gather_mode or "mxu"
     else:
         def fwd_fn(value, loc, w):
             return _msda_fwd_chunked(value, spatial_shapes, loc, w, chunk_q,

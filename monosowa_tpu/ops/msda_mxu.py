@@ -72,6 +72,123 @@ def _fwd_kernel(idx_ref, coef_ref, quadv_ref, out_ref, *,
     out_ref[:] = acc
 
 
+def _gdot_kernel(idx_ref, do_ref, quadv_ref, out_ref, *,
+                 level_spans: Tuple[Tuple[int, int], ...], n_points: int,
+                 block_t: int, d_head: int):
+    """Grid step (b, m, qi): per-sample row-gradient dots for the
+    analytic dLoc/dW backward.
+
+    idx_ref (BQ, L*P) int32 GLOBAL anchor rows; do_ref (BQ, D) incoming
+    gradient rows; quadv_ref (T_total, 4D) bf16 quad rows.  Writes
+    out (BQ, L*P*4): out[:, s*4+slot] = <quad_row[idx[s], slot], dout>.
+    """
+    bq, d4 = idx_ref.shape[0], 4 * d_head
+    # dout tiled 4x on the lane axis via an iota-built selector matmul
+    # (jnp.repeat/broadcast+reshape fail Mosaic lane lowering)
+    rT = jax.lax.broadcasted_iota(jnp.int32, (d_head, d4), 0)
+    cT = jax.lax.broadcasted_iota(jnp.int32, (d_head, d4), 1)
+    tile4 = (cT - (cT // d_head) * d_head == rT).astype(jnp.float32)
+    do4 = jnp.dot(do_ref[...].astype(jnp.float32), tile4,
+                  preferred_element_type=jnp.float32)     # (BQ, 4D)
+    # slot-sum selector: (4D, 4) block-diag ones (transpose of the
+    # forward's expand) — folds lane groups of D into per-slot sums
+    rS = jax.lax.broadcasted_iota(jnp.int32, (d4, 4), 0) // d_head
+    cS = jax.lax.broadcasted_iota(jnp.int32, (d4, 4), 1)
+    fold = (rS == cS).astype(jnp.float32)                 # (4D, 4)
+    for li, (t0, tl) in enumerate(level_spans):
+        for p in range(n_points):
+            s = li * n_points + p
+            ii = idx_ref[:, s]                            # (BQ,)
+            rows = jnp.zeros((bq, d4), jnp.float32)
+            for c0 in range(t0, t0 + tl, block_t):
+                ct = min(block_t, t0 + tl - c0)
+                iota = c0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, ct), 1)
+                oh = (ii[:, None] == iota).astype(jnp.bfloat16)
+                rows = rows + jnp.dot(
+                    oh, quadv_ref[c0:c0 + ct, :],
+                    preferred_element_type=jnp.float32)   # (BQ, 4D)
+            out_ref[:, s * 4:(s + 1) * 4] = jnp.dot(
+                rows * do4, fold, preferred_element_type=jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spatial_shapes", "block_q", "block_t", "interpret"))
+def msda_gdot_mxu(value: jnp.ndarray,
+                  spatial_shapes: Tuple[Tuple[int, int], ...],
+                  sampling_locations: jnp.ndarray,
+                  dout: jnp.ndarray,
+                  block_q: int = 256,
+                  block_t: int = 2048,
+                  interpret=None) -> jnp.ndarray:
+    """Per-sample slot-row gradient dots on the MXU.
+
+    Returns gdot (B, Q, M, L, P, 4) with
+    gdot[..., slot] = <quad_value[anchor, slot], dout_row> — the shared
+    contraction of the analytic dLoc/dW backward (ops/msda.py
+    ``locw_chunk``'s ``gdot`` einsum), fused so the (BQ, 4D) gathered
+    rows never stage through HBM.  dout is (B, Q, M, D).
+    """
+    from monosowa_tpu.ops.msda import _quad_slot_geometry, _quad_value
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, t_total, m, d = value.shape
+    q = sampling_locations.shape[1]
+    n_levels = len(spatial_shapes)
+    n_points = sampling_locations.shape[4]
+
+    quads, spans, start = [], [], 0
+    for h, w in spatial_shapes:
+        value_l = jax.lax.dynamic_slice_in_dim(value, start, h * w, axis=1)
+        qv = _quad_value(value_l, w)
+        quads.append(jnp.moveaxis(qv, 2, 1).reshape(b, m, h * w, 4 * d))
+        spans.append((start, h * w))
+        start += h * w
+    quadv = jnp.concatenate(quads, axis=2).astype(jnp.bfloat16)
+
+    idxs = []
+    for li, (h, w) in enumerate(spatial_shapes):
+        flat00, _, _, _ = _quad_slot_geometry(
+            sampling_locations[:, :, :, li], h, w, with_derivs=False)
+        idxs.append(flat00 + spans[li][0])
+    idx = jnp.stack(idxs, 3)                              # (B, Q, M, L, P)
+    idx = jnp.moveaxis(idx, 2, 1).reshape(b, m, q, n_levels * n_points)
+    do = jnp.moveaxis(dout, 2, 1)                         # (B, M, Q, D)
+
+    qp = -(-q // block_q) * block_q
+    if qp != q:
+        idx = jnp.pad(idx, ((0, 0), (0, 0), (0, qp - q), (0, 0)),
+                      constant_values=-1)
+        do = jnp.pad(do, ((0, 0), (0, 0), (0, qp - q), (0, 0)))
+
+    kernel = functools.partial(
+        _gdot_kernel, level_spans=tuple(spans), n_points=n_points,
+        block_t=block_t, d_head=d)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, m, qp // block_q),
+        in_specs=[
+            pl.BlockSpec((None, None, block_q, n_levels * n_points),
+                         lambda bi, mi, qi: (bi, mi, qi, 0)),
+            pl.BlockSpec((None, None, block_q, d),
+                         lambda bi, mi, qi: (bi, mi, qi, 0)),
+            pl.BlockSpec((None, None, t_total, 4 * d),
+                         lambda bi, mi, qi: (bi, mi, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, None, block_q,
+                                n_levels * n_points * 4),
+                               lambda bi, mi, qi: (bi, mi, qi, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            (b, m, qp, n_levels * n_points * 4), jnp.float32),
+        interpret=interpret,
+    )(idx, do, quadv)
+
+    out = out[:, :, :q].reshape(b, m, q, n_levels, n_points, 4)
+    return jnp.moveaxis(out, 1, 2)                        # (B,Q,M,L,P,4)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spatial_shapes", "block_q", "block_t", "interpret"))

@@ -39,8 +39,10 @@ def test_mxu_custom_vjp_path():
     b, q, m, d, p = 2, 37, 4, 8, 4
     s = sum(h * w for h, w in SHAPES)
     value = jnp.asarray(rng.normal(size=(b, s, m, d)).astype(np.float32))
+    # includes out-of-bounds samples: both paths must fetch the same
+    # clipped rows and mask them through the same slot weights
     loc = jnp.asarray(
-        rng.uniform(0.05, 0.95, (b, q, m, len(SHAPES), p, 2))
+        rng.uniform(-0.15, 1.15, (b, q, m, len(SHAPES), p, 2))
         .astype(np.float32))
     w = jnp.asarray(
         rng.uniform(0, 1, (b, q, m, len(SHAPES), p)).astype(np.float32))
