@@ -34,9 +34,47 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+def _onehot_rows_swept(ii, quadv_ref, t0: int, tl: int, block_t: int,
+                       bq: int, d4: int, skip_chunks: bool):
+    """One-hot row fetch for one sample column: sweep the level's token
+    span in block_t chunks, dotting the (BQ, ct) one-hot tile against the
+    quad rows.  With skip_chunks, each chunk's dot is predicated on the
+    block's anchor [min, max] range actually overlapping the chunk —
+    deformable samples are local, so raster-consecutive query blocks
+    touch only a few chunks of the big levels; skipped chunks contribute
+    exactly zero, so the result is unchanged.
+
+    Default OFF: measured on v5e at encoder shapes the full step is
+    0.69 s with skipping vs 0.68 s without (ring-init offsets = best-case
+    locality), i.e. the lax.cond lowers to predicated execution that
+    still pays the dot.  Kept for re-evaluation if Mosaic grows real
+    scalar branching around MXU ops."""
+    if skip_chunks:
+        # padding queries carry idx -1: exclude them from the min only
+        # (-1 never raises the max)
+        lo = jnp.min(jnp.where(ii < 0, jnp.int32(2 ** 30), ii))
+        hi = jnp.max(ii)
+    rows = jnp.zeros((bq, d4), jnp.float32)
+    for c0 in range(t0, t0 + tl, block_t):
+        ct = min(block_t, t0 + tl - c0)
+
+        def add_chunk(r, c0=c0, ct=ct):
+            iota = c0 + jax.lax.broadcasted_iota(jnp.int32, (bq, ct), 1)
+            oh = (ii[:, None] == iota).astype(jnp.bfloat16)
+            return r + jnp.dot(oh, quadv_ref[c0:c0 + ct, :],
+                               preferred_element_type=jnp.float32)
+
+        if skip_chunks:
+            rows = jax.lax.cond((hi >= c0) & (lo < c0 + ct),
+                                add_chunk, lambda r: r, rows)
+        else:
+            rows = add_chunk(rows)
+    return rows                                           # (BQ, 4D)
+
+
 def _fwd_kernel(idx_ref, coef_ref, quadv_ref, out_ref, *,
                 level_spans: Tuple[Tuple[int, int], ...], n_points: int,
-                block_t: int, d_head: int):
+                block_t: int, d_head: int, skip_chunks: bool):
     """Grid step (b, m, qi): out (BQ, 4D) slot-major accumulator.
 
     idx_ref (BQ, L*P) int32 GLOBAL anchor rows (level offsets folded in);
@@ -56,15 +94,8 @@ def _fwd_kernel(idx_ref, coef_ref, quadv_ref, out_ref, *,
         for p in range(n_points):
             s = li * n_points + p
             ii = idx_ref[:, s]                                # (BQ,)
-            rows = jnp.zeros((bq, 4 * d_head), jnp.float32)
-            for c0 in range(t0, t0 + tl, block_t):
-                ct = min(block_t, t0 + tl - c0)
-                iota = c0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, ct), 1)
-                oh = (ii[:, None] == iota).astype(jnp.bfloat16)
-                rows = rows + jnp.dot(
-                    oh, quadv_ref[c0:c0 + ct, :],
-                    preferred_element_type=jnp.float32)       # (BQ, 4D)
+            rows = _onehot_rows_swept(ii, quadv_ref, t0, tl, block_t,
+                                      bq, 4 * d_head, skip_chunks)
             # fold the 4 bilinear slot coefficients (lane-replicated)
             cexp = jnp.dot(coef_ref[:, s * 4:(s + 1) * 4], expand,
                            preferred_element_type=jnp.float32)  # (BQ, 4D)
@@ -74,7 +105,7 @@ def _fwd_kernel(idx_ref, coef_ref, quadv_ref, out_ref, *,
 
 def _gdot_kernel(idx_ref, do_ref, quadv_ref, out_ref, *,
                  level_spans: Tuple[Tuple[int, int], ...], n_points: int,
-                 block_t: int, d_head: int):
+                 block_t: int, d_head: int, skip_chunks: bool):
     """Grid step (b, m, qi): per-sample row-gradient dots for the
     analytic dLoc/dW backward.
 
@@ -99,29 +130,24 @@ def _gdot_kernel(idx_ref, do_ref, quadv_ref, out_ref, *,
         for p in range(n_points):
             s = li * n_points + p
             ii = idx_ref[:, s]                            # (BQ,)
-            rows = jnp.zeros((bq, d4), jnp.float32)
-            for c0 in range(t0, t0 + tl, block_t):
-                ct = min(block_t, t0 + tl - c0)
-                iota = c0 + jax.lax.broadcasted_iota(
-                    jnp.int32, (bq, ct), 1)
-                oh = (ii[:, None] == iota).astype(jnp.bfloat16)
-                rows = rows + jnp.dot(
-                    oh, quadv_ref[c0:c0 + ct, :],
-                    preferred_element_type=jnp.float32)   # (BQ, 4D)
+            rows = _onehot_rows_swept(ii, quadv_ref, t0, tl, block_t,
+                                      bq, d4, skip_chunks)
             out_ref[:, s * 4:(s + 1) * 4] = jnp.dot(
                 rows * do4, fold, preferred_element_type=jnp.float32)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spatial_shapes", "block_q", "block_t", "interpret"))
+    static_argnames=("spatial_shapes", "block_q", "block_t", "interpret",
+                     "skip_chunks"))
 def msda_gdot_mxu(value: jnp.ndarray,
                   spatial_shapes: Tuple[Tuple[int, int], ...],
                   sampling_locations: jnp.ndarray,
                   dout: jnp.ndarray,
                   block_q: int = 256,
                   block_t: int = 2048,
-                  interpret=None) -> jnp.ndarray:
+                  interpret=None,
+                  skip_chunks: bool = False) -> jnp.ndarray:
     """Per-sample slot-row gradient dots on the MXU.
 
     Returns gdot (B, Q, M, L, P, 4) with
@@ -165,7 +191,7 @@ def msda_gdot_mxu(value: jnp.ndarray,
 
     kernel = functools.partial(
         _gdot_kernel, level_spans=tuple(spans), n_points=n_points,
-        block_t=block_t, d_head=d)
+        block_t=block_t, d_head=d, skip_chunks=skip_chunks)
     out = pl.pallas_call(
         kernel,
         grid=(b, m, qp // block_q),
@@ -191,14 +217,16 @@ def msda_gdot_mxu(value: jnp.ndarray,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spatial_shapes", "block_q", "block_t", "interpret"))
+    static_argnames=("spatial_shapes", "block_q", "block_t", "interpret",
+                     "skip_chunks"))
 def ms_deform_attn_mxu(value: jnp.ndarray,
                        spatial_shapes: Tuple[Tuple[int, int], ...],
                        sampling_locations: jnp.ndarray,
                        attention_weights: jnp.ndarray,
                        block_q: int = 256,
                        block_t: int = 2048,
-                       interpret=None) -> jnp.ndarray:
+                       interpret=None,
+                       skip_chunks: bool = False) -> jnp.ndarray:
     """Pallas-MXU MSDA forward.
 
     value (B, sum HW, M, D); sampling_locations (B, Q, M, L, P, 2) in
@@ -249,7 +277,7 @@ def ms_deform_attn_mxu(value: jnp.ndarray,
 
     kernel = functools.partial(
         _fwd_kernel, level_spans=tuple(spans), n_points=n_points,
-        block_t=block_t, d_head=d)
+        block_t=block_t, d_head=d, skip_chunks=skip_chunks)
     out = pl.pallas_call(
         kernel,
         grid=(b, m, qp // block_q),

@@ -10,8 +10,8 @@ from monosowa_tpu.ops.msda_mxu import ms_deform_attn_mxu
 SHAPES = ((12, 20), (6, 10), (3, 5))
 
 
-@pytest.mark.parametrize("q", [37, 256])
-def test_mxu_fwd_matches_xla(q):
+@pytest.mark.parametrize("q,skip", [(37, False), (256, False), (256, True)])
+def test_mxu_fwd_matches_xla(q, skip):
     rng = np.random.default_rng(0)
     b, m, d, p = 2, 4, 8, 4
     s = sum(h * w for h, w in SHAPES)
@@ -25,7 +25,7 @@ def test_mxu_fwd_matches_xla(q):
     ref = ms_deform_attn(value, SHAPES, loc, w, gather_mode="onehot",
                          onehot_dtype="bfloat16", custom_vjp=False)
     out = ms_deform_attn_mxu(value, SHAPES, loc, w, block_q=64,
-                             block_t=64, interpret=True)
+                             block_t=64, interpret=True, skip_chunks=skip)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-2, rtol=2e-2)
 
