@@ -105,13 +105,20 @@ class MSDeformAttnModule(nn.Module):
         if backend == "auto":
             # dense row fetches beat serialized gathers on TPU but are a
             # dense-FLOP disaster on CPU — resolve per platform at trace
-            # time.  On TPU the fused Pallas one-hot kernel ("mxu",
-            # measured 269 -> 73 ms per encoder-layer forward on v5e) is
-            # the default; MSDA_TPU_BACKEND=onehot falls back to the
-            # pure-XLA row fetch if the Pallas toolchain misbehaves
-            # (bench.py does this automatically on a failed first step).
-            backend = (os.environ.get("MSDA_TPU_BACKEND", "mxu")
-                       if jax.default_backend() == "tpu" else "xla")
+            # time.  On a single TPU the fused Pallas one-hot kernel
+            # ("mxu", measured 269 -> 73 ms per encoder-layer forward on
+            # v5e) is the default; under a multi-device mesh GSPMD cannot
+            # partition the Mosaic custom call (measured: it replicates
+            # the region — correct but 8x redundant on a v5e-8), so
+            # multi-chip stays on the partitionable XLA one-hot fetch
+            # until the op is shard_map-wrapped.  MSDA_TPU_BACKEND
+            # overrides both ways (bench.py sets =onehot automatically if
+            # the Pallas toolchain fails the first step).
+            if jax.default_backend() == "tpu":
+                default = "mxu" if jax.device_count() == 1 else "onehot"
+                backend = os.environ.get("MSDA_TPU_BACKEND", default)
+            else:
+                backend = "xla"
         if backend == "mxu":
             out = ms_deform_attn(value, spatial_shapes, loc, weights,
                                  gather_mode="mxu",
