@@ -307,7 +307,7 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
         # bilinear-derivative folds below are cheap elementwise einsums
         from monosowa_tpu.ops.msda_mxu import msda_gdot_mxu
         gdot = msda_gdot_mxu(value, tuple(tuple(x) for x in spatial_shapes),
-                             loc, dout_r)                # (B,Q,M,L,P,4)
+                             loc, dout_r, **_mxu_tuning())  # (B,Q,M,L,P,4)
         dls, dws = [], []
         for lvl, (h, w_l) in enumerate(spatial_shapes):
             _, slot_w, slot_dwx, slot_dwy = _quad_slot_geometry(
@@ -322,6 +322,16 @@ def _msda_bwd(value, spatial_shapes, loc, w, dout, chunk_q, dv_chunk_q,
             dws.append(dw_l)
         dloc = jnp.stack(dls, 3)
         dw = jnp.stack(dws, 3)
+        import os
+        if os.environ.get("MSDA_MXU_DVALUE", "") == "1":
+            # fused Pallas dValue (scatter-add as transposed one-hot dots,
+            # accumulator VMEM-resident per (b, m)); env-gated pending
+            # on-chip measurement vs the XLA scan below
+            from monosowa_tpu.ops.msda_mxu import msda_dvalue_mxu
+            dv = msda_dvalue_mxu(
+                tuple(tuple(x) for x in spatial_shapes), loc, w, dout_r,
+                out_dtype_name=str(value.dtype), **_mxu_tuning())
+            return dv, dloc, dw
         return _msda_dvalue(value, spatial_shapes, loc, w, dout_r,
                             dv_chunk_q, onehot_dtype), dloc, dw
     def locw_chunk(args):
@@ -463,6 +473,27 @@ def _msda_dvalue(value, spatial_shapes, loc, w, dout_r, dv_chunk_q,
     return jnp.concatenate(dvalue_levels, 1).astype(value.dtype)
 
 
+def _mxu_tuning() -> dict:
+    """Pallas MXU kernel knobs, env-overridable for on-chip measurement.
+
+    MSDA_MXU_SKIP: "" (dense sweep), "dynamic" (data-dependent chunk loop
+    over each sample's anchor [min, max] range — exact, wins scale with
+    sample locality), or "cond" (legacy predicated variant, measured
+    useless).  MSDA_MXU_BLOCK_T: chunk length of the token sweep; smaller
+    chunks skip at finer grain but pay more loop overhead.
+    """
+    import os
+
+    kw = {}
+    skip = os.environ.get("MSDA_MXU_SKIP", "")
+    if skip:
+        kw["skip_chunks"] = skip
+    block_t = os.environ.get("MSDA_MXU_BLOCK_T", "")
+    if block_t:
+        kw["block_t"] = int(block_t)
+    return kw
+
+
 @functools.lru_cache(maxsize=None)
 def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...], chunk_q: int,
                dv_chunk_q: int, onehot_dtype_name: str,
@@ -475,7 +506,8 @@ def _make_msda(spatial_shapes: Tuple[Tuple[int, int], ...], chunk_q: int,
         from monosowa_tpu.ops.msda_mxu import ms_deform_attn_mxu
 
         def fwd_fn(value, loc, w):
-            return ms_deform_attn_mxu(value, spatial_shapes, loc, w)
+            return ms_deform_attn_mxu(value, spatial_shapes, loc, w,
+                                      **_mxu_tuning())
         bwd_mode = bwd_gather_mode or "mxu"
     else:
         def fwd_fn(value, loc, w):
