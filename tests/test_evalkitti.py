@@ -163,3 +163,35 @@ def test_anno_from_label_file(tmp_path):
     # dimensions reordered to (l, h, w)
     np.testing.assert_allclose(a["dimensions"][0], [3.64, 1.65, 1.67])
     assert a["score"][0] == pytest.approx(0.88)
+
+
+def test_offline_evaluate_cli(tmp_path, capsys):
+    """The thin offline-eval driver (reference kitti_eval_python/evaluate.py
+    equivalent): perfect predictions -> AP 100 printed."""
+    from monosowa_tpu.evalkitti import evaluate as ev
+
+    gt = tmp_path / "gt"
+    pred = tmp_path / "pred"
+    gt.mkdir()
+    pred.mkdir()
+    row = ("Car 0.0 0 -1.2 300.0 150.0 400.0 250.0 "
+           "1.5 1.6 3.9 1.0 1.5 12.0 -1.0")
+    for i in range(45):
+        (gt / f"{i:06d}.txt").write_text(row + "\n")
+        # >= 41 GT with distinct scores: fewer under-sample the 40-point
+        # recall grid (KITTI metric definition) and cap the AP below 100
+        (pred / f"{i:06d}.txt").write_text(row + f" 0.{100 + i}\n")
+
+    res = ev.evaluate(str(gt), str(pred))
+    assert res["car_3d_strict"]["ap40"][1] > 99.0
+
+    ev.main([str(gt), str(pred)])
+    out = capsys.readouterr().out
+    assert "car_3d_strict" in out and "AP_R40" in out
+
+    # --split restricting the evaluated ids still runs (single-GT AP is
+    # degenerate under the 40-point recall grid; assert structure only)
+    split = tmp_path / "ids.txt"
+    split.write_text("000001\n")
+    res = ev.evaluate(str(gt), str(pred), split_file=str(split))
+    assert set(res) >= {"car_bbox_strict", "car_3d_loose"}
