@@ -13,7 +13,8 @@ axis permutation R=[[0,-1,0],[0,0,-1],[1,0,0]] and ``heading ->
 (:276-447; L2 = fewer than 5 lidar points).
 
 The conversion math lives in pure functions (testable offline); TFRecord
-decoding requires tensorflow + waymo_open_dataset, gated at runtime.
+framing, the Waymo wire schema and the range-image -> point-cloud decode
+are native (monosowa_tpu/waymo/) — no tensorflow or waymo_open_dataset.
 """
 
 from __future__ import annotations
@@ -23,6 +24,8 @@ import os
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # vehicle-frame -> camera-frame axis permutation (reference :169-174)
 AXIS_PERM = np.array([[0.0, -1.0, 0.0], [0.0, 0.0, -1.0], [1.0, 0.0, 0.0]])
@@ -93,16 +96,17 @@ def distance_bands(dist: float):
 
 def convert_split(split_dir: str, out_dir: str, seq_start: int, seq_end: int,
                   validation: bool) -> int:
-    try:
-        import tensorflow.compat.v1 as tf
-        from waymo_open_dataset import dataset_pb2 as open_dataset
-        from waymo_open_dataset.utils import frame_utils
-    except ImportError as e:
-        raise SystemExit(
-            "waymo conversion needs tensorflow + waymo_open_dataset "
-            f"(unavailable: {e}); the coordinate math in this module is "
-            "importable without them") from None
+    # Native ingestion: monosowa_tpu.waymo ships the wire schema
+    # (protoc-compiled), the numpy range-image -> point-cloud port, and a
+    # pure-python TFRecord reader — no tensorflow / waymo_open_dataset.
+    import io
+
     import cv2
+    from PIL import Image
+
+    from monosowa_tpu.waymo import dataset_pb2 as open_dataset
+    from monosowa_tpu.waymo import frame_utils
+    from monosowa_tpu.waymo.tfrecord import read_tfrecord
 
     files = sorted(os.listdir(split_dir))
     if seq_start >= 0 or seq_end >= 0:
@@ -118,14 +122,14 @@ def convert_split(split_dir: str, out_dir: str, seq_start: int, seq_end: int,
         for s in subdirs:
             os.makedirs(os.path.join(seq_out, s), exist_ok=True)
 
-        dataset = tf.data.TFRecordDataset(
-            os.path.join(split_dir, file_name), compression_type="")
-        for i, data in enumerate(dataset):
+        records = read_tfrecord(os.path.join(split_dir, file_name))
+        for i, data in enumerate(records):
             frame = open_dataset.Frame()
-            frame.ParseFromString(bytearray(data.numpy()))
+            frame.ParseFromString(data)
             stem = str(i).zfill(10)
 
-            img = tf.image.decode_jpeg(frame.images[0].image).numpy()
+            img = np.asarray(Image.open(io.BytesIO(frame.images[0].image))
+                             .convert("RGB"))
             cv2.imwrite(os.path.join(seq_out, "image_2", stem + ".png"),
                         cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
 
