@@ -2,24 +2,36 @@
 
 Behavioral contract (pseudo_label_generator/3d/scripts/metric3d.py):
 
-* the Metric3Dv2 backbone predicts canonical depth at a 1000-focal; actual
-  depth = canonical * fx / 1000, clamped to 300 m (:319-341);
-* back-projection through the pinhole intrinsics on the full pixel grid,
-  keeping points with depth > 0 (:330-341);
+* ``encode_img`` (:290-317): keep-ratio resize to fit 616x1064, scale ALL
+  FOUR intrinsics by the same factor, center-pad with the ImageNet mean,
+  then normalize with the ImageNet mean/std (values in 0-255 space);
+* the Metric3Dv2 backbone predicts canonical depth at a 1000-focal camera;
+  ``decode_img`` (:319-345) crops the padding, bilinearly upsamples to the
+  original resolution, de-canonicalizes with the SCALED intrinsic
+  (``depth * fx_scaled / 1000``), clamps to [0, 300] m, and back-projects
+  the full pixel grid through the ORIGINAL intrinsics;
 * per-frame outputs cached as npz under ``lidar_raw/<seq>/pcds/`` with
   skip-if-exists resumability (:82-83, :97).
+
+Deviation: the reference keeps all H*W back-projected points including the
+degenerate depth-0 pixels; ``pseudo_lidar_from_depth`` drops z <= 0 points
+(they carry no geometry and downstream projection divides by z).
 
 Capability interface (SURVEY.md §2.4.8): the depth *estimator* is pluggable.
 ``CachedDepthBackend`` consumes precomputed depth maps / point clouds so the
 pipeline runs without the ViT-giant checkpoint; ``TorchHubMetric3DBackend``
 wires the original torch-hub model when a checkpoint is locally available.
-The geometric lift itself is jitted JAX (ops.geometry.backproject_depth).
+Cached-depth protocol: ``predict_depth`` returns canonical depth at the
+ORIGINAL resolution with the encode resize factor already folded in, so
+metric depth = value * fx_orig / 1000 (equal to the reference's
+``upsampled * fx_scaled / 1000``).  The geometric decode+lift is jitted JAX.
 """
 
 from __future__ import annotations
 
+import functools
 import os
-from typing import Optional, Protocol
+from typing import Optional, Protocol, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,11 +41,90 @@ from monosowa_tpu.ops.geometry import backproject_depth
 
 MAX_DEPTH = 300.0
 CANONICAL_FOCAL = 1000.0
+METRIC3D_INPUT_SIZE = (616, 1064)  # ViT models (metric3d.py:294)
+IMAGENET_MEAN = (123.675, 116.28, 103.53)
+IMAGENET_STD = (58.395, 57.12, 57.375)
+
+
+def encode_image(img: np.ndarray, intrinsic) -> Tuple[
+        np.ndarray, list, list, float]:
+    """Exact ``Metric3D.encode_img`` (metric3d.py:290-317).
+
+    img: (H, W, 3) RGB (any dtype, 0-255 range); intrinsic: [fx, fy, cx, cy].
+    Returns (chw normalized float32 (3, 616, 1064), pad_info
+    [top, bottom, left, right], intrinsic_scaled, scale).
+    """
+    import cv2
+
+    ih, iw = METRIC3D_INPUT_SIZE
+    h, w = img.shape[:2]
+    scale = min(ih / h, iw / w)
+    rgb = cv2.resize(np.asarray(img), (int(w * scale), int(h * scale)),
+                     interpolation=cv2.INTER_LINEAR)
+    intrinsic_scaled = [float(intrinsic[0]) * scale,
+                        float(intrinsic[1]) * scale,
+                        float(intrinsic[2]) * scale,
+                        float(intrinsic[3]) * scale]
+    hs, ws = rgb.shape[:2]
+    pad_h, pad_w = ih - hs, iw - ws
+    ph0, pw0 = pad_h // 2, pad_w // 2
+    pad_info = [ph0, pad_h - ph0, pw0, pad_w - pw0]
+    padded = cv2.copyMakeBorder(rgb, ph0, pad_h - ph0, pw0, pad_w - pw0,
+                                cv2.BORDER_CONSTANT, value=list(IMAGENET_MEAN))
+    mean = np.asarray(IMAGENET_MEAN, np.float32)[:, None, None]
+    std = np.asarray(IMAGENET_STD, np.float32)[:, None, None]
+    chw = (padded.transpose(2, 0, 1).astype(np.float32) - mean) / std
+    return chw, pad_info, intrinsic_scaled, scale
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def metric3d_decode_lift(pred_depth: jnp.ndarray, pad_info: tuple,
+                         orig_hw: tuple, fx_scaled: jnp.ndarray,
+                         intrinsic_orig: jnp.ndarray) -> Tuple[
+                             jnp.ndarray, jnp.ndarray]:
+    """Exact ``Metric3D.decode_img`` geometry (metric3d.py:319-345), jitted.
+
+    pred_depth: (616, 1064) canonical depth from the model; pad_info/orig_hw
+    static; fx_scaled = fx * encode-scale; intrinsic_orig = [fx, fy, cx, cy].
+    Returns (points (H*W, 3) over the FULL pixel grid — reference keeps
+    depth-0 pixels too — and the metric depth map (H, W)).
+
+    The bilinear upsample uses half-pixel source coordinates, matching
+    ``torch.nn.functional.interpolate(mode='bilinear')`` with its default
+    ``align_corners=False`` (the reference call at metric3d.py:324-325).
+    """
+    t, b, l, r = pad_info
+    h616, w1064 = pred_depth.shape
+    cropped = pred_depth[t:h616 - b, l:w1064 - r]
+    depth = jax.image.resize(cropped, orig_hw, method="linear")
+    metric = jnp.clip(depth * fx_scaled / CANONICAL_FOCAL, 0.0, MAX_DEPTH)
+    fu, fv, cu, cv = (intrinsic_orig[0], intrinsic_orig[1],
+                      intrinsic_orig[2], intrinsic_orig[3])
+    return backproject_depth(metric, fu, fv, cu, cv), metric
+
+
+def compute_pseudo_lidar(img: np.ndarray, intrinsic, model_fn) -> Tuple[
+        np.ndarray, np.ndarray]:
+    """Full ``Metric3D.compute_pseudo_lidar`` (metric3d.py:280-288).
+
+    model_fn: (3, 616, 1064) normalized chw -> (616, 1064) canonical depth
+    (the pluggable network).  Returns (points (H*W, 3) float32, metric depth
+    (H, W) float32) with the reference's exact encode/decode math.
+    """
+    chw, pad_info, intr_s, _ = encode_image(img, intrinsic)
+    pred = np.asarray(model_fn(chw), np.float32)
+    pts, metric = metric3d_decode_lift(
+        jnp.asarray(pred), tuple(pad_info), tuple(img.shape[:2]),
+        jnp.float32(intr_s[0]),
+        jnp.asarray([float(v) for v in intrinsic], jnp.float32))
+    return np.asarray(pts, np.float32), np.asarray(metric, np.float32)
 
 
 class DepthBackend(Protocol):
     def predict_depth(self, image: np.ndarray) -> np.ndarray:
-        """(H, W, 3) uint8 RGB -> (H, W) float32 canonical depth."""
+        """(H, W, 3) uint8 RGB -> (H, W) float32 canonical depth
+        (original resolution, encode resize factor folded in — see module
+        docstring)."""
         ...
 
 
@@ -57,8 +148,7 @@ class TorchHubMetric3DBackend:
     """Runs yvanyin/metric3d (metric3d.py:17-37) when available locally.
 
     Requires network or a pre-fetched torch-hub cache; raises with guidance
-    otherwise.  Inference follows encode_img/decode_img: resize+pad to
-    616x1064, normalize, de-pad, upsample back.
+    otherwise.  Uses the shared exact encode/decode math above.
     """
 
     def __init__(self, model_name: str = "metric3d_vit_giant2"):
@@ -73,27 +163,29 @@ class TorchHubMetric3DBackend:
                 "CachedDepthBackend with precomputed depth maps.") from e
         self.model.eval()
 
-    def predict_depth(self, image: np.ndarray) -> np.ndarray:
+    def _infer_canonical(self, chw: np.ndarray) -> np.ndarray:
         import torch
 
-        h, w = image.shape[:2]
-        input_size = (616, 1064)
-        scale = min(input_size[0] / h, input_size[1] / w)
-        hs, ws = int(h * scale), int(w * scale)
-        import cv2
-        rgb = cv2.resize(image, (ws, hs), interpolation=cv2.INTER_LINEAR)
-        pad_h, pad_w = input_size[0] - hs, input_size[1] - ws
-        ph0, pw0 = pad_h // 2, pad_w // 2
-        padded = np.full((*input_size, 3), [123.675, 116.28, 103.53],
-                         np.float32)
-        padded[ph0:ph0 + hs, pw0:pw0 + ws] = rgb
-        x = (padded - [123.675, 116.28, 103.53]) / [58.395, 57.12, 57.375]
-        t = torch.from_numpy(x.transpose(2, 0, 1))[None].float()
+        t = torch.from_numpy(chw)[None].float()
         with torch.no_grad():
             depth, *_ = self.model.inference({"input": t})
-        d = depth.squeeze().cpu().numpy()[ph0:ph0 + hs, pw0:pw0 + ws]
+        return depth.squeeze().cpu().numpy().astype(np.float32)
+
+    def predict_depth(self, image: np.ndarray) -> np.ndarray:
+        """Canonical depth at original resolution, resize factor folded in
+        (metric = result * fx_orig / 1000 == reference's
+        upsampled * fx_scaled / 1000)."""
+        import cv2
+
+        h, w = image.shape[:2]
+        # intrinsics don't affect the canonical prediction; encode with a
+        # unit intrinsic to reuse the exact resize/pad/normalize math
+        chw, pad_info, _, scale = encode_image(image, [1.0, 1.0, 0.0, 0.0])
+        pred = self._infer_canonical(chw)
+        t, b, l, r = pad_info
+        d = pred[t:pred.shape[0] - b, l:pred.shape[1] - r]
         d = cv2.resize(d, (w, h), interpolation=cv2.INTER_LINEAR)
-        return (d / scale).astype(np.float32)
+        return (d * scale).astype(np.float32)
 
 
 @jax.jit
