@@ -188,6 +188,71 @@ class TorchHubMetric3DBackend:
         return (d * scale).astype(np.float32)
 
 
+class FlaxDepthAnythingBackend:
+    """TPU-served monocular depth: the JAX DINOv2+DPT stack
+    (``monosowa_tpu.models.depth_anything``, differentially tested against
+    the torch implementation) behind the pipeline's canonical-depth
+    contract.
+
+    Works with any HuggingFace ``DepthAnythingForDepthEstimation``
+    checkpoint imported via ``import_hf_depth_anything`` — for the
+    pseudo-LiDAR pipeline use a METRIC checkpoint (e.g. the KITTI
+    metric-depth release): ``predict_depth`` converts metric meters to the
+    pipeline's canonical contract (metric = value * fx / 1000, matching the
+    reference's Metric3D decode at metric3d.py:327-333).
+
+    Preprocessing mirrors the HF DPT image processor: keep-ratio resize of
+    the shorter side to ``input_size`` rounded to a multiple of the patch
+    size, rescale 1/255, ImageNet-normalize; the prediction is resampled
+    back to the input resolution with the torch-exact bicubic.
+    """
+
+    IMAGENET01_MEAN = (0.485, 0.456, 0.406)
+    IMAGENET01_STD = (0.229, 0.224, 0.225)
+
+    def __init__(self, params, cfg, fx: float, input_size: int = 518):
+        from monosowa_tpu.models.depth_anything import depth_anything_forward
+
+        if cfg.depth_estimation_type != "metric":
+            raise ValueError(
+                "pseudo-LiDAR needs a metric depth checkpoint "
+                "(depth_estimation_type='metric'); relative depth has no "
+                "scale to canonicalize")
+        self.cfg = cfg
+        self.fx = float(fx)
+        self.input_size = int(input_size)
+        self._fwd = jax.jit(
+            functools.partial(depth_anything_forward, params, cfg=cfg))
+
+    def _encode(self, image: np.ndarray) -> np.ndarray:
+        import cv2
+
+        p = self.cfg.backbone.patch_size
+        h, w = image.shape[:2]
+        scale = self.input_size / min(h, w)
+        nh = max(p, int(round(h * scale / p)) * p)
+        nw = max(p, int(round(w * scale / p)) * p)
+        img = cv2.resize(np.asarray(image), (nw, nh),
+                         interpolation=cv2.INTER_CUBIC)
+        img = img.astype(np.float32) / 255.0
+        return (img - np.asarray(self.IMAGENET01_MEAN, np.float32)) \
+            / np.asarray(self.IMAGENET01_STD, np.float32)
+
+    def predict_metric_depth(self, image: np.ndarray) -> np.ndarray:
+        """(H, W, 3) uint8 RGB -> (H, W) float32 metric depth [m]."""
+        from monosowa_tpu.ops.resize import resize_bicubic_torch
+
+        x = self._encode(image)[None]
+        pred = self._fwd(jnp.asarray(x))[0]
+        out = resize_bicubic_torch(pred[..., None], image.shape[:2])[..., 0]
+        return np.asarray(jnp.maximum(out, 0.0), np.float32)
+
+    def predict_depth(self, image: np.ndarray) -> np.ndarray:
+        """Canonical depth per the module contract (metric * 1000 / fx)."""
+        return (self.predict_metric_depth(image)
+                * (CANONICAL_FOCAL / self.fx)).astype(np.float32)
+
+
 @jax.jit
 def lift_depth_to_points(depth: jnp.ndarray, fu: float, fv: float,
                          cu: float, cv: float,
