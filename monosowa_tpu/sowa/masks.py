@@ -39,6 +39,84 @@ class MaskRefineBackend(Protocol):
         ...
 
 
+class FlaxSamRefineBackend:
+    """TPU-served SAM box-prompted refinement (``MaskRefineBackend``).
+
+    Runs the pure-JAX SAM port (``monosowa_tpu.models.sam``, differentially
+    tested against transformers' torch ``SamModel``) with the reference's
+    usage pattern: one box prompt per detection, ``multimask_output=False``
+    (filtering.py:133-146).  Pre/post-processing mirrors the SAM predictor:
+    longest side resized to the model's input size, ImageNet-normalized,
+    zero-padded square; low-res mask logits upsampled (torch-exact
+    bilinear), cropped to the resized region, resampled to the original
+    resolution and thresholded at 0.
+    """
+
+    IMAGENET01_MEAN = (0.485, 0.456, 0.406)
+    IMAGENET01_STD = (0.229, 0.224, 0.225)
+
+    def __init__(self, params, cfg, max_boxes: int = 16):
+        import functools
+
+        import jax
+
+        from monosowa_tpu.models.sam import sam_predict_boxes
+
+        self.cfg = cfg
+        self.max_boxes = int(max_boxes)
+        self._fwd = jax.jit(functools.partial(sam_predict_boxes, params,
+                                              cfg=cfg))
+
+    def _encode(self, image: np.ndarray):
+        import cv2
+
+        s = self.cfg.vision.image_size
+        h, w = image.shape[:2]
+        scale = s / max(h, w)
+        nh, nw = int(h * scale + 0.5), int(w * scale + 0.5)
+        img = cv2.resize(np.asarray(image), (nw, nh),
+                         interpolation=cv2.INTER_LINEAR)
+        img = img.astype(np.float32) / 255.0
+        img = (img - np.asarray(self.IMAGENET01_MEAN, np.float32)) \
+            / np.asarray(self.IMAGENET01_STD, np.float32)
+        padded = np.zeros((s, s, 3), np.float32)
+        padded[:nh, :nw] = img
+        return padded, (nh, nw), scale
+
+    def refine(self, image: np.ndarray, boxes: np.ndarray
+               ) -> List[np.ndarray]:
+        import cv2
+        import jax.numpy as jnp
+
+        from monosowa_tpu.ops.resize import resize_bilinear_torch
+
+        h, w = image.shape[:2]
+        padded, (nh, nw), scale = self._encode(image)
+        n = len(boxes)
+        # fixed-width prompt batch: avoids one XLA compile per box count
+        nb = min(self.max_boxes, max(n, 1))
+        out: List[np.ndarray] = []
+        for start in range(0, max(n, 1), nb):
+            chunk = np.zeros((nb, 4), np.float32)
+            take = min(nb, n - start) if n else 0
+            if take:
+                chunk[:take] = np.asarray(
+                    boxes[start:start + take], np.float32) * scale
+            masks, _ = self._fwd(jnp.asarray(padded)[None],
+                                 jnp.asarray(chunk)[None])
+            low = masks[0, :take, 0]                       # (take, 4g, 4g)
+            s = self.cfg.vision.image_size
+            up = resize_bilinear_torch(low[..., None], (s, s))[..., 0]
+            up = np.asarray(up[:, :nh, :nw])
+            for m in up:
+                full = cv2.resize(m, (w, h),
+                                  interpolation=cv2.INTER_LINEAR)
+                out.append(full > 0.0)
+            if not n:
+                break
+        return out
+
+
 def mask_box(mask: np.ndarray) -> np.ndarray:
     ys, xs = np.where(mask)
     if len(xs) == 0:
