@@ -208,6 +208,62 @@ class OrbMatcherBackend:
         return np.asarray(src, np.float64), np.asarray(dst, np.float64)
 
 
+class FlaxLoFTRMatcherBackend:
+    """TPU-served detector-free matcher (``MatcherBackend``).
+
+    Runs the pure-JAX EfficientLoFTR port (``monosowa_tpu.models.
+    efficientloftr``, the CVPR'24 successor of the LoFTR matcher the
+    reference loads from kornia, stitching.py:29-151) and returns mutually-
+    nearest matched keypoint pairs above the coarse confidence threshold.
+    Images are resized so both dims are multiples of 32 (the backbone
+    stride x aggregation window) and keypoints are mapped back to the
+    original pixel grid.
+    """
+
+    def __init__(self, params, cfg, input_hw: Tuple[int, int] = (480, 640),
+                 min_confidence: Optional[float] = None):
+        import functools
+
+        import jax
+
+        from monosowa_tpu.models.efficientloftr import match_pair
+
+        self.cfg = cfg
+        self.min_confidence = (cfg.coarse_matching_threshold
+                               if min_confidence is None else min_confidence)
+        self.input_hw = (input_hw[0] // 32 * 32, input_hw[1] // 32 * 32)
+        self._fwd = jax.jit(functools.partial(match_pair, params, cfg=cfg))
+
+    def _gray(self, im: np.ndarray) -> np.ndarray:
+        import cv2
+
+        if im.ndim == 3:
+            im = cv2.cvtColor(im.astype(np.uint8), cv2.COLOR_RGB2GRAY)
+        return cv2.resize(im, (self.input_hw[1], self.input_hw[0]),
+                          interpolation=cv2.INTER_AREA
+                          ).astype(np.float32) / 255.0
+
+    def match(self, img_a: np.ndarray, img_b: np.ndarray
+              ) -> Tuple[np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        pair = np.stack([self._gray(img_a), self._gray(img_b)])[None]
+        kp, scores, matches = self._fwd(jnp.asarray(pair))
+        kp = np.asarray(kp[0])            # (2, L, 2) normalized
+        scores = np.asarray(scores[0])    # (2, L)
+        matches = np.asarray(matches[0])  # (2, L)
+        # direction 0: slot j (an image-B cell) holds the matched image-A
+        # cell index i = matches[0][j]; by mutual-nearest symmetry the
+        # refined image-B coordinates of that same pair live at kp[1][i]
+        keep = np.flatnonzero((matches[0] >= 0)
+                              & (scores[0] > self.min_confidence))
+        if keep.size == 0:
+            return np.zeros((0, 2)), np.zeros((0, 2))
+        src = kp[0][keep] * [img_a.shape[1], img_a.shape[0]]
+        dst = kp[1][matches[0][keep]] * [img_b.shape[1], img_b.shape[0]]
+        return src.astype(np.float64), dst.astype(np.float64)
+
+
 def estimate_sequence_homography(frames_a, frames_b,
                                  matcher: Optional[MatcherBackend] = None,
                                  threshold: float = 3.0,
