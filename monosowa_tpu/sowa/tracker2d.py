@@ -80,6 +80,88 @@ class TemplateMatchTracker:
         return self._box
 
 
+class FlaxViTTrackerBackend:
+    """TPU-served one-stream ViT tracker (``SingleObjectTracker``).
+
+    Runs the pure-JAX OSTrack/ODTrack-family network
+    (``monosowa_tpu.models.vit_tracker``) with ODTrack-style track-token
+    propagation across frames.  Crop convention (the OSTrack one ODTrack
+    inherits): template = 2x box side, search = 4x box side, both square
+    crops of side ``factor * sqrt(w*h)`` zero-padded at image borders.
+    """
+
+    IMAGENET01_MEAN = (0.485, 0.456, 0.406)
+    IMAGENET01_STD = (0.229, 0.224, 0.225)
+
+    def __init__(self, params, cfg, template_factor: float = 2.0,
+                 search_factor: float = 4.0):
+        import functools
+
+        import jax
+
+        from monosowa_tpu.models.vit_tracker import tracker_forward
+
+        self.cfg = cfg
+        self.template_factor = template_factor
+        self.search_factor = search_factor
+        self._params = params
+        self._fwd = jax.jit(functools.partial(tracker_forward, params,
+                                              cfg=cfg))
+        self._template = None
+        self._track_tokens = None
+        self._box = None  # xywh
+
+    def _crop(self, image: np.ndarray, cx: float, cy: float, side: float,
+              out_size: int) -> np.ndarray:
+        import cv2
+
+        h, w = image.shape[:2]
+        x0, y0 = int(round(cx - side / 2)), int(round(cy - side / 2))
+        x1, y1 = int(round(cx + side / 2)), int(round(cy + side / 2))
+        pad = np.zeros((y1 - y0, x1 - x0, 3), np.uint8)
+        sx0, sy0 = max(x0, 0), max(y0, 0)
+        sx1, sy1 = min(x1, w), min(y1, h)
+        if sx1 > sx0 and sy1 > sy0:
+            pad[sy0 - y0:sy1 - y0, sx0 - x0:sx1 - x0] = \
+                image[sy0:sy1, sx0:sx1]
+        crop = cv2.resize(pad, (out_size, out_size),
+                          interpolation=cv2.INTER_LINEAR)
+        crop = crop.astype(np.float32) / 255.0
+        return (crop - np.asarray(self.IMAGENET01_MEAN, np.float32)) \
+            / np.asarray(self.IMAGENET01_STD, np.float32)
+
+    def init(self, image: np.ndarray, box_xywh: Sequence[float]) -> None:
+        x, y, w, h = (float(v) for v in box_xywh)
+        side = self.template_factor * float(np.sqrt(max(w * h, 1.0)))
+        self._template = self._crop(image, x + w / 2, y + h / 2, side,
+                                    self.cfg.template_size)
+        self._track_tokens = np.asarray(self._params["track_token"],
+                                        np.float32)
+        self._box = [x, y, w, h]
+
+    def track(self, image: np.ndarray):
+        import jax.numpy as jnp
+
+        x, y, w, h = self._box
+        cx, cy = x + w / 2, y + h / 2
+        side = self.search_factor * float(np.sqrt(max(w * h, 1.0)))
+        search = self._crop(image, cx, cy, side, self.cfg.search_size)
+        box, _, tok = self._fwd(jnp.asarray(self._template)[None],
+                                jnp.asarray(search)[None],
+                                jnp.asarray(self._track_tokens
+                                            ).reshape(1, -1,
+                                                      self.cfg.hidden_size))
+        self._track_tokens = np.asarray(tok[0])[None]
+        bcx, bcy, bw, bh = (float(v) for v in np.asarray(box[0]))
+        # normalized search-crop coords -> image coords
+        ox, oy = cx - side / 2, cy - side / 2
+        nw, nh = bw * side, bh * side
+        nx = ox + bcx * side - nw / 2
+        ny = oy + bcy * side - nh / 2
+        self._box = [nx, ny, nw, nh]
+        return self._box
+
+
 def make_odtrack(model: str = "baseline_large"):
     """Load the external ODTrack repo when available (tracker_ODTrack.py
     imports it dynamically from paths.odtrack_path)."""
