@@ -39,6 +39,75 @@ class MaskRefineBackend(Protocol):
         ...
 
 
+class FlaxMask2FormerBackend:
+    """TPU-served instance segmentation (``MaskBackend``).
+
+    Runs the pure-JAX Mask2Former port (``monosowa_tpu.models.mask2former``,
+    differentially tested against transformers' torch implementation) and
+    applies the reference's detection contract (filtering.py:97-110): keep
+    masks whose class probability for the configured car-family labels
+    exceeds ``score_threshold`` (0.7 in the reference).  Per-query score =
+    P(car class) from the softmaxed class logits (null class dropped);
+    masks are the sigmoid(>0.5) binarized mask logits resampled to the
+    input resolution.
+    """
+
+    IMAGENET01_MEAN = (0.485, 0.456, 0.406)
+    IMAGENET01_STD = (0.229, 0.224, 0.225)
+
+    def __init__(self, params, cfg, car_label_ids=(2,),
+                 score_threshold: float = SCORE_THRESHOLD,
+                 input_hw=(384, 1280)):
+        import functools
+
+        import jax
+
+        from monosowa_tpu.models.mask2former import mask2former_forward
+
+        self.cfg = cfg
+        self.car_label_ids = tuple(car_label_ids)
+        self.score_threshold = float(score_threshold)
+        self.input_hw = (input_hw[0] // 32 * 32, input_hw[1] // 32 * 32)
+        self._fwd = jax.jit(functools.partial(mask2former_forward, params,
+                                              cfg=cfg))
+
+    def _encode(self, image: np.ndarray) -> np.ndarray:
+        import cv2
+
+        img = cv2.resize(np.asarray(image),
+                         (self.input_hw[1], self.input_hw[0]),
+                         interpolation=cv2.INTER_LINEAR)
+        img = img.astype(np.float32) / 255.0
+        return (img - np.asarray(self.IMAGENET01_MEAN, np.float32)) \
+            / np.asarray(self.IMAGENET01_STD, np.float32)
+
+    def predict_masks_scores(self, image: np.ndarray):
+        import cv2
+        import jax.nn
+        import jax.numpy as jnp
+
+        h, w = image.shape[:2]
+        x = self._encode(image)[None]
+        classes, masks = self._fwd(jnp.asarray(x))
+        probs = np.asarray(jax.nn.softmax(classes[0].astype(jnp.float32),
+                                          -1))[:, :-1]   # drop null class
+        car_prob = probs[:, list(self.car_label_ids)].max(-1)
+        keep = np.flatnonzero(car_prob > self.score_threshold)
+        mask_logits = np.asarray(masks[0])
+        out_masks, out_scores = [], []
+        for q in keep:
+            m = cv2.resize(mask_logits[q], (w, h),
+                           interpolation=cv2.INTER_LINEAR)
+            m = m > 0.0  # sigmoid(x) > 0.5 <=> x > 0
+            if m.any():
+                out_masks.append(m)
+                out_scores.append(float(car_prob[q]))
+        return out_masks, out_scores
+
+    def predict_masks(self, image: np.ndarray) -> List[np.ndarray]:
+        return self.predict_masks_scores(image)[0]
+
+
 class FlaxSamRefineBackend:
     """TPU-served SAM box-prompted refinement (``MaskRefineBackend``).
 
