@@ -139,7 +139,7 @@ def _encoder_layer(p, hidden, pos, ref, shapes, cfg: Mask2FormerConfig):
     norm = jnp.asarray([[w, h] for h, w in shapes], jnp.float32)
     loc = ref[None, :, None, :, None, :] \
         + offsets / norm[None, None, None, :, None, :]
-    out = ms_deform_attn(value, shapes, loc, weights)
+    out = ms_deform_attn(value, shapes, loc, weights).astype(hidden.dtype)
     out = out @ p["output_proj"]["kernel"] + p["output_proj"]["bias"]
     hidden = _ln(hidden + out, p["self_attn_layer_norm"])
     y = jax.nn.relu(hidden @ p["fc1"]["kernel"] + p["fc1"]["bias"])
@@ -160,7 +160,8 @@ def pixel_decoder(params, features: List[jnp.ndarray],
         e = _gn32(_conv(f, params["input_projections"][i]),
                   params["input_projections_gn"][i])
         embeds.append(e)
-        poss.append(jnp.asarray(_sine_pos(f.shape[1], f.shape[2], fd // 2)))
+        poss.append(jnp.asarray(_sine_pos(f.shape[1], f.shape[2], fd // 2)
+                                ).astype(e.dtype))
     shapes = tuple((e.shape[1], e.shape[2]) for e in embeds)
     b = embeds[0].shape[0]
     flat = jnp.concatenate([e.reshape(b, -1, fd) for e in embeds], 1)
@@ -242,7 +243,8 @@ def transformer_module(params, multi_scale: List[jnp.ndarray],
     size_list = [(f.shape[1], f.shape[2]) for f in multi_scale]
     enc, pos = [], []
     for i, f in enumerate(multi_scale):
-        p2 = jnp.asarray(_sine_pos(f.shape[1], f.shape[2], hd // 2))
+        p2 = jnp.asarray(_sine_pos(f.shape[1], f.shape[2], hd // 2)
+                         ).astype(f.dtype)
         pos.append(p2.reshape(1, -1, hd))
         e = f.reshape(b, -1, hd) + params["level_embed"][i]
         enc.append(e)

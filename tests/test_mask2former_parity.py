@@ -78,6 +78,28 @@ def test_mask2former_matches_torch():
                                atol=5e-3, rtol=1e-3)
 
 
+def test_mask2former_bf16_forward_stays_bf16():
+    """Serving regression: f32 constants (sine positional embeddings,
+    reference grids) must not promote the bf16 stream back to f32 — the
+    promotion crashed the FPN convs (f32 input x bf16 kernel) and silently
+    doubled serving bandwidth before it was pinned here."""
+    import jax
+
+    hf_cfg = _tiny_m2f()
+    torch.manual_seed(0)
+    tm = transformers.Mask2FormerForUniversalSegmentation(hf_cfg).eval()
+    cfg = m2f.config_from_hf_mask2former(hf_cfg)
+    params = m2f.import_hf_mask2former(tm.state_dict(), cfg)
+    params = jax.tree_util.tree_map(
+        lambda v: jnp.asarray(v, jnp.bfloat16)
+        if np.issubdtype(np.asarray(v).dtype, np.floating) else
+        jnp.asarray(v), params)
+    x = jnp.zeros((1, 64, 64, 3), jnp.bfloat16)
+    classes, masks = m2f.mask2former_forward(params, x, cfg)
+    assert classes.dtype == jnp.bfloat16
+    assert masks.dtype == jnp.bfloat16
+
+
 def test_mask_backend_contract():
     """FlaxMask2FormerBackend satisfies MaskBackend: image -> list of bool
     masks at the original resolution, gated by class-prob score."""
