@@ -14,9 +14,13 @@ TPU-native equivalents with the same decision semantics: z-score exact;
 HBOS via fixed-bin per-axis histograms (density rank-scored at the
 contamination quantile, pyod's default 0.1); SOR exact via top-k over the
 distance matrix; DBSCAN noise exact (a point is noise iff no core point
-within eps, computed from the neighbor-count matrix); HDBSCAN approximated
-by a second DBSCAN at a larger scale (documented deviation — exact HDBSCAN
-is inherently sequential and contributes one vote of five).
+within eps, computed from the neighbor-count matrix); HDBSCAN exact via
+``hdbscan_np`` (mutual-reachability MST -> condensed tree -> excess-of-mass,
+differentially tested against scikit-learn) in the host ensemble
+(``ensemble_inlier_mask_host``, the pipeline default).  The fully-jitted
+``ensemble_inlier_mask`` keeps a second-DBSCAN approximation for that vote
+(HDBSCAN's hierarchy extraction is sequential union-find work that does not
+map to fixed-shape XLA) — use the host variant when exactness matters.
 
 All functions are mask-aware and fixed-shape (they return refined masks).
 """
@@ -106,3 +110,35 @@ def ensemble_inlier_mask(pts: jnp.ndarray, mask: jnp.ndarray,
     keep = mask & (votes < threshold)
     # degenerate guard: if everything got flagged, keep the original mask
     return jnp.where(jnp.any(keep), keep, mask)
+
+
+@jax.jit
+def _four_votes(pts: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Vote counts from the four detectors that map cleanly to XLA."""
+    return (zscore_outliers(pts, mask).astype(jnp.int32)
+            + hbos_outliers(pts, mask).astype(jnp.int32)
+            + sor_outliers(pts, mask).astype(jnp.int32)
+            + dbscan_noise(pts, mask, eps=0.2).astype(jnp.int32))
+
+
+def ensemble_inlier_mask_host(pts, threshold: int = 2):
+    """Exact five-voter ensemble: four jitted votes + exact HDBSCAN noise.
+
+    Host-side counterpart of ``ensemble_inlier_mask`` with the HDBSCAN vote
+    computed by the real algorithm (loader.py:4112-4115 uses
+    ``hdbscan.HDBSCAN()`` defaults on the standardized cloud).  Returns a
+    boolean keep-mask over the dense (unpadded) input points.
+    """
+    import numpy as np
+
+    from monosowa_tpu.sowa.hdbscan_np import hdbscan_noise
+
+    pts = np.asarray(pts, dtype=np.float64)
+    n = pts.shape[0]
+    if n <= 3:  # reference guard, loader.py:4074-4075
+        return np.ones(n, dtype=bool)
+    votes = np.asarray(_four_votes(jnp.asarray(pts), jnp.ones(n, bool)))
+    z = (pts - pts.mean(0)) / np.sqrt(pts.var(0) + 1e-9)
+    votes = votes + hdbscan_noise(z)
+    keep = votes < threshold
+    return keep if keep.any() else np.ones(n, dtype=bool)

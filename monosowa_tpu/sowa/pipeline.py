@@ -206,14 +206,8 @@ class PseudoLabeler:
             ref_masks = [aggregation.choose_ref_mask(t) for t in kept]
 
         if cfg.use_ensemble_filter:
-            from monosowa_tpu.sowa.filtering import ensemble_inlier_mask
-            filtered = []
-            for p in points:
-                pj = jnp.asarray(p)
-                keep_m = np.asarray(ensemble_inlier_mask(
-                    pj, jnp.ones(p.shape[0], bool)))
-                filtered.append(p[keep_m])
-            points = filtered
+            from monosowa_tpu.sowa.filtering import ensemble_inlier_mask_host
+            points = [p[ensemble_inlier_mask_host(p)] for p in points]
 
         # the padded device batch is only needed for an actual fit or the
         # optional per-car refinement; skip its host->device transfers when
