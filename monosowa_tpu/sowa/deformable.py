@@ -6,11 +6,29 @@ Behavioral contract (pseudo_label_generator/3d/scripts/deformable_mesh.py):
   iterations) of a car mesh to each standing car's aggregated points over
   per-vertex y-offsets + 7 global DoF (xyz translation, 3 axis scales, yaw
   delta), dims clipped to [0.6, 1.25] x template;
-* losses (:519-817): sigmoid-kNN chamfer (tfl_knn_batch :747-781),
-  projected two-axis TFL (tfl_new_batch :783-812), edge-length-variance
-  (mesh_edge_loss_v2 :519-612), uniform laplacian smoothing, y-symmetry via
-  matched mirrored vertices (:814-817 — Hungarian in the reference,
-  nearest-neighbor matching here: equivalent on near-symmetric meshes).
+* losses (:519-817), implemented REFERENCE-EXACT and differentially tested
+  against the reference's own functions (tests/test_deformable_reference_parity.py):
+  - ``tfl_knn_ref``    = tfl_knn_batch (:769-781): K=10 kNN scan->mesh on
+    SQUARED distances, sigmoid(10 d^2)-0.5, validity-weighted;
+  - ``tfl_new_ref``    = tfl_new_batch (:783-812): yaw-aligned two-plane
+    projections, K=10 mean squared distances mesh->scan, summed;
+  - ``edge_loss_ref``  = mesh_edge_loss_v2_batch (:566-612): per-coordinate
+    abs-deviation norm + |edge length - mean| about per-mesh means, 1/E
+    weighting;
+  - ``symmetry_ref``   = symmetry_loss (:814-817): L1 on the Y coordinate
+    between each vertex and its Hungarian-matched mirror partner;
+  - ``laplacian_ref``  = pytorch3d mesh_laplacian_smoothing(method=
+    "uniform"): mean over vertices of || mean(neighbors) - v ||.
+  Weights and schedule follow the driver (:417-483): w_chamfer 5, w_edge 1,
+  w_laplacian 10, w_symmetry 1, w_tfl_new 2.5; AdamW lr 0.025, 1000 iters;
+  scales frozen for the first 100 iterations, per-vertex y-offsets (x10)
+  released at iteration 250; scale/dim clipping applied only to the final
+  result, not inside the loop.
+
+Documented deviation: the reference re-samples 10 000 random surface points
+from the mesh every iteration (sample_points_from_meshes) as its "mesh
+point set"; the jitted fit uses the deterministic vertex set instead, which
+keeps the loop stochastic-free and XLA-compilable.
 
 The mesh is procedural (same parametric car surface as sowa.templates) —
 the reference loads fiat_deformed2.obj; any (verts, faces) pair works.
@@ -115,17 +133,105 @@ def vertex_adjacency(faces: np.ndarray, n_verts: int,
     return out
 
 
+def vertex_degrees(faces: np.ndarray, n_verts: int) -> np.ndarray:
+    """(V,) true neighbor counts (for the exact uniform laplacian — the
+    self-padded rows of ``vertex_adjacency`` must not dilute the mean)."""
+    deg = np.zeros(n_verts, np.int32)
+    for a, b in mesh_edges(faces):
+        deg[a] += 1
+        deg[b] += 1
+    return deg
+
+
+# ---------------------------------------------------------------------------
+# Reference-exact loss terms (deformable_mesh.py:519-817)
+# ---------------------------------------------------------------------------
+
+def _knn_sq_dists(a: jnp.ndarray, b: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(..., Na, k) smallest SQUARED distances from each a-point to b
+    (pytorch3d ``knn_points().dists`` contract: squared, ascending)."""
+    d2 = pairwise_sq_dists(a, b)
+    return -jax.lax.top_k(-d2, k)[0]
+
+
+def tfl_knn_ref(scan: jnp.ndarray, mesh_pts: jnp.ndarray,
+                weights: jnp.ndarray, k: int = 10,
+                steepness: float = 10.0) -> jnp.ndarray:
+    """tfl_knn_batch (:769-781): scan->mesh K-NN on squared distances,
+    sigmoid(steepness * d^2) - 0.5, per-point validity weights."""
+    nn = jax.vmap(lambda a, b: _knn_sq_dists(a, b, k))(scan, mesh_pts)
+    s = jax.nn.sigmoid(steepness * nn) - 0.5            # (B, S, k)
+    per_pt = jnp.mean(s, axis=2) * weights
+    return jnp.mean(jnp.mean(per_pt, axis=1))
+
+
+def tfl_new_ref(scan: jnp.ndarray, mesh_pts: jnp.ndarray,
+                thetas: jnp.ndarray, k: int = 10) -> jnp.ndarray:
+    """tfl_new_batch (:783-812): project both clouds onto the yaw-aligned
+    horizontal axes paired with y; mesh->scan K-NN mean squared distance in
+    each plane, summed."""
+    c, s = jnp.cos(thetas), jnp.sin(thetas)
+    zeros = jnp.zeros_like(thetas)
+    loss = 0.0
+    for e in (jnp.stack([c, zeros, s], 1), jnp.stack([-s, zeros, c], 1)):
+        scan_p = jnp.stack([jnp.einsum("bsd,bd->bs", scan, e),
+                            scan[:, :, 1]], 2)
+        mesh_p = jnp.stack([jnp.einsum("bmd,bd->bm", mesh_pts, e),
+                            mesh_pts[:, :, 1]], 2)
+        nn = jax.vmap(lambda a, b: _knn_sq_dists(a, b, k))(mesh_p, scan_p)
+        loss = loss + jnp.mean(nn, axis=2)              # (B, M)
+    return jnp.mean(jnp.mean(loss, axis=1))
+
+
+def edge_loss_ref(verts_b: jnp.ndarray, edges: jnp.ndarray) -> jnp.ndarray:
+    """mesh_edge_loss_v2_batch (:566-612) for shared-topology meshes."""
+    diffs = verts_b[:, edges[:, 0]] - verts_b[:, edges[:, 1]]   # (B, E, 3)
+    da = jnp.abs(diffs)
+    shifted = da - jnp.mean(da, axis=1, keepdims=True)
+    loss = jnp.linalg.norm(shifted, axis=2)
+    norms = jnp.linalg.norm(diffs, axis=2)
+    loss = loss + jnp.abs(norms - jnp.mean(norms, axis=1, keepdims=True))
+    return jnp.mean(loss)   # == sum * (1/E) / B
+
+
+def symmetry_ref(verts_b: jnp.ndarray, mirror_idx: jnp.ndarray
+                 ) -> jnp.ndarray:
+    """symmetry_loss (:814-817): L1 between each vertex's Y and its
+    mirror partner's Y (partner indices from a Hungarian match of the
+    template against its x-mirrored self, :399-405)."""
+    return jnp.mean(jnp.abs(verts_b[:, :, 1]
+                            - verts_b[:, mirror_idx, 1]))
+
+
+def laplacian_ref(verts_b: jnp.ndarray, adj: jnp.ndarray,
+                  degree: jnp.ndarray) -> jnp.ndarray:
+    """pytorch3d mesh_laplacian_smoothing(method="uniform"): per vertex
+    || mean(true neighbors) - v ||, averaged.  ``adj`` is self-padded, so
+    the pad contribution (max_degree - degree) * v is subtracted."""
+    d = degree.astype(verts_b.dtype)[None, :, None]
+    pad = adj.shape[1] - degree.astype(verts_b.dtype)
+    nbr_sum = jnp.sum(verts_b[:, adj], axis=2)          # (B, V, 3)
+    true_mean = (nbr_sum - pad[None, :, None] * verts_b) / jnp.maximum(d, 1)
+    return jnp.mean(jnp.linalg.norm(true_mean - verts_b, axis=-1))
+
+
 @dataclasses.dataclass(frozen=True)
 class DeformConfig:
+    """Reference driver constants (deformable_mesh.py:414-421, 409, 455-474)."""
     iterations: int = 1000
-    lr: float = 1e-2
+    lr: float = 0.025                 # AdamW lr (:409)
+    weight_decay: float = 0.01        # torch AdamW default
     steepness: float = 10.0
-    w_chamfer: float = 1.0
-    w_tfl: float = 1.0
-    w_edge: float = 1.0
-    w_laplacian: float = 0.3
-    w_symmetry: float = 0.5
-    scale_min: float = 0.6
+    knn_k: int = 10
+    w_chamfer: float = 5.0            # w_chamfer (:417)
+    w_tfl: float = 2.5                # w_tfl_new (:421)
+    w_edge: float = 1.0               # w_edge (:418)
+    w_laplacian: float = 10.0         # w_laplacian (:419)
+    w_symmetry: float = 1.0           # w_symmetry (:420)
+    scale_release_iter: int = 100     # scales active when i > 100 (:455)
+    yoff_release_iter: int = 250      # y-offsets active when i >= 250 (:461)
+    yoff_gain: float = 10.0           # off * 10 (:463)
+    scale_min: float = 0.6            # final dim clip (:508-510)
     scale_max: float = 1.25
 
 
@@ -137,46 +243,66 @@ class DeformResult(NamedTuple):
     loss: jnp.ndarray         # (B,)
 
 
-def _apply_dof(verts0, y_offsets, dof, cfg):
-    """verts0 (V, 3); y_offsets (V,); dof = [tx,ty,tz, sx,sy,sz, theta].
+def _apply_dof(verts0, y_offsets, dof2, center, theta0, it, cfg):
+    """verts0 (V, 3); y_offsets (V,); dof2 = [dx,dy,dz, sx,sy,sz, dtheta]
+    (reference ``deform_verts2``, init [0,0,0,1,1,1,0]); pose deltas are
+    relative to the grid-fit (center, theta0).
 
-    Returns (world_verts, local_verts) — the symmetry loss acts on the
-    canonical (pre-pose) frame; mirroring in world coordinates would drag
-    the whole car toward the camera's x=0 plane."""
-    scales = jnp.clip(1.0 + dof[3:6], cfg.scale_min, cfg.scale_max)
+    Reference staging (:455-463): scales act only after iteration 100;
+    per-vertex y-offsets (x10) only from iteration 250.  The y-offset is
+    added post-rotation in the reference (world frame) — equal to a
+    canonical-frame add since yaw rotations leave y invariant.
+    """
+    scales = jnp.where(it > cfg.scale_release_iter, dof2[3:6],
+                       jnp.ones(3, verts0.dtype))
     v = verts0 * scales
-    v = v.at[:, 1].add(y_offsets)
-    c, s = jnp.cos(dof[6]), jnp.sin(dof[6])
+    theta = theta0 + dof2[6]
+    c, s = jnp.cos(theta), jnp.sin(theta)
     rot = jnp.array([[c, 0.0, s], [0.0, 1.0, 0.0], [-s, 0.0, c]])
-    return v @ rot.T + dof[:3], v
+    v = v @ rot.T + center + dof2[:3]
+    y_gate = jnp.where(it >= cfg.yoff_release_iter, cfg.yoff_gain, 0.0)
+    return v.at[:, 1].add(y_gate * y_offsets)
 
 
-def _losses(v, v_local, scan, scan_mask, edges, adj, mirror_idx, cfg):
-    d2 = pairwise_sq_dists(v, scan)
-    d2 = jnp.where(scan_mask[None, :], d2, 1e9)
-    d = jnp.sqrt(d2 + 1e-12)
-    n_scan = jnp.maximum(jnp.sum(scan_mask), 1)
-    # sigmoid-kNN chamfer (both directions, tfl_knn_batch)
-    v2s = jax.nn.sigmoid(cfg.steepness * jnp.min(d, axis=1)) - 0.5
-    s2v = jax.nn.sigmoid(cfg.steepness * jnp.min(d, axis=0)) - 0.5
-    s2v = jnp.where(scan_mask, s2v, 0.0)
-    chamfer = jnp.mean(v2s) + jnp.sum(s2v) / n_scan
-    # projected two-axis TFL (tfl_new_batch): xz / zy plane distances
-    for axes in ((0, 2), (2, 1)):
-        dv = pairwise_sq_dists(v[:, list(axes)], scan[:, list(axes)])
-        dv = jnp.sqrt(jnp.where(scan_mask[None, :], dv, 1e9) + 1e-12)
-        chamfer = chamfer + 0.5 * jnp.mean(
-            jax.nn.sigmoid(cfg.steepness * jnp.min(dv, axis=1)) - 0.5)
-    # edge-length variance
-    el = jnp.linalg.norm(v[edges[:, 0]] - v[edges[:, 1]], axis=1)
-    edge_loss = jnp.var(el)
-    # uniform laplacian
-    nbrs = v[adj]                                    # (V, D, 3)
-    lap = jnp.mean(jnp.sum((jnp.mean(nbrs, axis=1) - v) ** 2, -1))
-    # y-symmetry in the canonical frame: mirrored-x vertex matches partner
-    mirrored = v_local * jnp.array([-1.0, 1.0, 1.0])
-    sym = jnp.mean(jnp.sum((mirrored - v_local[mirror_idx]) ** 2, -1))
-    return (cfg.w_chamfer * chamfer + cfg.w_edge * edge_loss
+def _losses_batch(vb, scans, weights, thetas_total, edges, adj, degree,
+                  mirror_idx, cfg):
+    """Per-car decomposition of the reference total (:472-478); the batch
+    mean of the returned vector equals the reference scalar loss."""
+    nn = jax.vmap(lambda a, b: _knn_sq_dists(a, b, cfg.knn_k))(scans, vb)
+    s = jax.nn.sigmoid(cfg.steepness * nn) - 0.5
+    chamfer = jnp.mean(jnp.mean(s, 2) * weights, 1)           # (B,)
+
+    c, sn = jnp.cos(-thetas_total), jnp.sin(-thetas_total)
+    zeros = jnp.zeros_like(thetas_total)
+    tfl = 0.0
+    for e in (jnp.stack([c, zeros, sn], 1),
+              jnp.stack([-sn, zeros, c], 1)):
+        scan_p = jnp.stack([jnp.einsum("bsd,bd->bs", scans, e),
+                            scans[:, :, 1]], 2)
+        mesh_p = jnp.stack([jnp.einsum("bmd,bd->bm", vb, e),
+                            vb[:, :, 1]], 2)
+        nn2 = jax.vmap(lambda a, b: _knn_sq_dists(a, b, cfg.knn_k))(
+            mesh_p, scan_p)
+        tfl = tfl + jnp.mean(nn2, axis=2)
+    tfl = jnp.mean(tfl, axis=1)                               # (B,)
+
+    diffs = vb[:, edges[:, 0]] - vb[:, edges[:, 1]]
+    da = jnp.abs(diffs)
+    shifted = da - jnp.mean(da, axis=1, keepdims=True)
+    el = jnp.linalg.norm(shifted, axis=2)
+    norms = jnp.linalg.norm(diffs, axis=2)
+    el = el + jnp.abs(norms - jnp.mean(norms, axis=1, keepdims=True))
+    edge = jnp.mean(el, axis=1)                               # (B,)
+
+    sym = jnp.mean(jnp.abs(vb[:, :, 1] - vb[:, mirror_idx, 1]), axis=1)
+
+    d = jnp.maximum(degree.astype(vb.dtype), 1)[None, :, None]
+    pad = adj.shape[1] - degree.astype(vb.dtype)
+    nbr_sum = jnp.sum(vb[:, adj], axis=2)
+    true_mean = (nbr_sum - pad[None, :, None] * vb) / d
+    lap = jnp.mean(jnp.linalg.norm(true_mean - vb, axis=-1), axis=1)
+
+    return (cfg.w_chamfer * chamfer + cfg.w_tfl * tfl + cfg.w_edge * edge
             + cfg.w_laplacian * lap + cfg.w_symmetry * sym)
 
 
@@ -186,58 +312,77 @@ def fit_deformable_batch(verts0: jnp.ndarray, edges: jnp.ndarray,
                          scans: jnp.ndarray, scan_masks: jnp.ndarray,
                          centers: jnp.ndarray, thetas: jnp.ndarray,
                          cfg: DeformConfig = DeformConfig()) -> DeformResult:
-    """Batched mesh fit.
+    """Batched mesh fit (deformable_mesh_fit_lim_dof_batch :330-517).
 
-    verts0 (V, 3) canonical mesh; scans (B, S, 3) camera-frame points;
-    centers (B, 3) + thetas (B,) initial poses from the grid fit.
+    verts0 (V, 3) canonical mesh; scans (B, S, 3) camera-frame points,
+    zero-padded like the reference (:355-358) with ``scan_masks`` marking
+    real rows (they become the tfl_knn validity weights; tfl_new runs
+    unmasked, as in the reference); centers (B, 3) + thetas (B,) initial
+    poses from the grid fit.
+
+    The reference's final re-pose uses the negated yaw (:496-503) — harmless
+    there because only the y-extent (rotation-invariant) is consumed for
+    ``car.height``; here the returned vertices keep the optimized pose.
     """
     import optax
 
     b = scans.shape[0]
     nv = verts0.shape[0]
+    degree = jnp.sum(adj != jnp.arange(nv)[:, None], axis=1)
+    weights = scan_masks.astype(scans.dtype)
 
     def init_params():
         return {"y_off": jnp.zeros((b, nv)),
-                "dof": jnp.concatenate(
-                    [centers, jnp.zeros((b, 3)), thetas[:, None]], 1)}
+                "dof2": jnp.tile(jnp.asarray(
+                    [0., 0., 0., 1., 1., 1., 0.], scans.dtype), (b, 1))}
 
-    def loss_fn(params):
-        # dof[6] holds the absolute yaw, initialized to the grid-fit theta
-        def one(y_off, dof, scan, m):
-            v, v_local = _apply_dof(verts0, y_off, dof, cfg)
-            return _losses(v, v_local, scan, m, edges, adj, mirror_idx, cfg)
-
-        per = jax.vmap(one)(params["y_off"], params["dof"], scans,
-                            scan_masks)
+    def loss_fn(params, it):
+        vb = jax.vmap(
+            lambda y, d, cen, th: _apply_dof(verts0, y, d, cen, th, it, cfg)
+        )(params["y_off"], params["dof2"], centers, thetas)
+        per = _losses_batch(vb, scans, weights,
+                            thetas + params["dof2"][:, 6],
+                            edges, adj, degree, mirror_idx, cfg)
         return jnp.mean(per), per
 
-    tx = optax.adamw(cfg.lr)
+    tx = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
     params = init_params()
     opt_state = tx.init(params)
 
-    def step(carry, _):
+    def step(carry, it):
         params, opt_state = carry
-        (_, per), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        (_, per), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, it)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), per
 
     (params, _), per_hist = jax.lax.scan(
-        step, (params, opt_state), None, length=cfg.iterations)
+        step, (params, opt_state), jnp.arange(cfg.iterations))
 
-    def final(y_off, dof):
-        return _apply_dof(verts0, y_off, dof, cfg)[0]
+    def final(y_off, dof2, cen, th):
+        return _apply_dof(verts0, y_off, dof2, cen, th,
+                          jnp.asarray(cfg.iterations), cfg)
 
-    verts = jax.vmap(final)(params["y_off"], params["dof"])
-    scales = jnp.clip(1.0 + params["dof"][:, 3:6], cfg.scale_min,
-                      cfg.scale_max)
-    return DeformResult(verts=verts, translation=params["dof"][:, :3],
-                        scales=scales, dtheta=params["dof"][:, 6] - thetas,
+    verts = jax.vmap(final)(params["y_off"], params["dof2"],
+                            centers, thetas)
+    scales = jnp.clip(params["dof2"][:, 3:6], cfg.scale_min, cfg.scale_max)
+    return DeformResult(verts=verts,
+                        translation=centers + params["dof2"][:, :3],
+                        scales=scales,
+                        dtheta=params["dof2"][:, 6],
                         loss=per_hist[-1])
 
 
 def mirror_indices(verts: np.ndarray) -> np.ndarray:
-    """Nearest-vertex match of each vertex to its x-mirrored position."""
+    """Hungarian match of each vertex to its x-mirrored position
+    (deformable_mesh.py:399-405: linear_sum_assignment over the cdist of
+    the template vs its x-negated clone)."""
+    from scipy.optimize import linear_sum_assignment
+
     m = verts * np.array([-1.0, 1.0, 1.0])
-    d = ((m[:, None, :] - verts[None, :, :]) ** 2).sum(-1)
-    return np.argmin(d, axis=1).astype(np.int32)
+    d = np.sqrt(((verts[:, None, :] - m[None, :, :]) ** 2).sum(-1))
+    row, col = linear_sum_assignment(d)
+    out = np.empty(len(verts), np.int32)
+    out[row] = col
+    return out
