@@ -125,7 +125,13 @@ def points_in_obb(pts: jnp.ndarray, center: jnp.ndarray, lwh: jnp.ndarray,
                   ry: jnp.ndarray) -> jnp.ndarray:
     """Boolean mask of points inside an oriented (yaw-only) box.
 
-    Replaces open3d OBB containment queries (scale_detector.py:78)."""
+    Replaces open3d OBB containment queries (scale_detector.py:78).
+
+    Axis convention: templates/fitter put width on camera x, height on y,
+    length on z at ry=0 (templates.py), and the reference's KITTI boxes use
+    extent order [w, h, l] on the local (x, y, z) axes
+    (scale_detector.py:112 + open3d OrientedBoundingBox), so the local-frame
+    half extents are (w/2, h/2, l/2)."""
     local = (pts - center) @ rot_y(ry)  # inverse rotate: R^T applied from right
-    half = jnp.stack([lwh[..., 0], lwh[..., 2], lwh[..., 1]], -1) / 2.0
+    half = jnp.stack([lwh[..., 1], lwh[..., 2], lwh[..., 0]], -1) / 2.0
     return jnp.all(jnp.abs(local) <= half, axis=-1)

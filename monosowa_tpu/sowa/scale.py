@@ -171,6 +171,15 @@ def optimize_scale(scan: jnp.ndarray, scan_mask: jnp.ndarray,
         loss=losses2[best2])
 
 
+def _local_aabb(scan, inside, gather_center, theta):
+    """Axis-aligned extents/centers of the inside points in the gather
+    box's local frame (x=width, y=height, z=length)."""
+    local = (scan - gather_center) @ rot_y(theta)
+    lo = jnp.min(jnp.where(inside[:, None], local, BIG), axis=0)
+    hi = jnp.max(jnp.where(inside[:, None], local, -BIG), axis=0)
+    return lo, hi
+
+
 @partial(jax.jit, static_argnames=("width_bloat", "length_offset",
                                    "max_length_diff", "template_dims"))
 def bbox_reduce(scan: jnp.ndarray, scan_mask: jnp.ndarray,
@@ -180,41 +189,47 @@ def bbox_reduce(scan: jnp.ndarray, scan_mask: jnp.ndarray,
                 template_dims: tuple = (3.88, 1.63, 1.526)):
     """Shrink a fitted box to the axis-aligned extent of contained points.
 
+    Reference-exact (scale_detector.py:135-259 ``bbox_reducer_tracked``,
+    KITTI branch; differentially tested in
+    tests/test_scale_reference_parity.py):
+
+    1. gather points in the fitted box bloated by |cos|/|sin|-modulated
+       ``width_bloat`` on the width/length axes and 0.4 on height, the box
+       shifted up by 0.4 (:154-158);
+    2. new length = local-z extent of the gathered points; the new center
+       keeps the gathered AABB's y and z (length-axis) offsets but zeroes
+       the cross (width) shift (:178-187);
+    3. a second gather bloated 0.8 in height and shifted up only 0.2 gives
+       the refined height (:197-218);
+    4. fall back to template dims at the original center when the reduced
+       length is outside [max_length_diff, 1.1] x the fitted length
+       (:223-240); otherwise width is kept and length gets +0.1 m (:241-246).
+
     Returns (center', lwh', used_reduction flag).  scan in camera coords.
     """
-    # bloated gather box (scale_detector.py:152-158): widen in x by
-    # |cos theta|*bloat, in z by |sin theta|*bloat, y by 0.4 shifted up
-    bloat = jnp.stack([jnp.abs(jnp.cos(theta)) * width_bloat + lwh[0],
-                       width_bloat * jnp.abs(jnp.sin(theta)) + lwh[1],
-                       0.4 + lwh[2]])
-    gather_center = center + jnp.stack([0.0, -0.4, 0.0])
-    # our points_in_obb takes lwh ordering (l, w, h)
-    inside = points_in_obb(scan, gather_center,
-                           jnp.stack([bloat[0], bloat[1], bloat[2]]),
-                           theta) & scan_mask
+    sin_b = jnp.abs(jnp.sin(theta)) * width_bloat
+    cos_b = jnp.abs(jnp.cos(theta)) * width_bloat
 
-    local = (scan - gather_center) @ rot_y(theta)
-    lx = jnp.where(inside, local[:, 0], BIG)
-    lz = jnp.where(inside, local[:, 2], BIG)
-    x_min = jnp.min(lx)
-    x_max = jnp.max(jnp.where(inside, local[:, 0], -BIG))
-    z_min = jnp.min(lz)
-    z_max = jnp.max(jnp.where(inside, local[:, 2], -BIG))
-    ly = jnp.where(inside, local[:, 1], BIG)
-    y_min = jnp.min(ly)
-    y_max = jnp.max(jnp.where(inside, local[:, 1], -BIG))
+    g1_lwh = jnp.stack([lwh[0] + sin_b, lwh[1] + cos_b, lwh[2] + 0.4])
+    g1_center = center + jnp.stack([0.0, -0.4, 0.0])
+    inside1 = points_in_obb(scan, g1_center, g1_lwh, theta) & scan_mask
+    lo1, hi1 = _local_aabb(scan, inside1, g1_center, theta)
 
-    new_len = x_max - x_min
-    new_h = y_max - y_min
-    # recenter along the length axis only (scale_detector.py:178-184 zeroes
-    # the cross-axis shift)
-    shift_local = jnp.stack([(x_max + x_min) / 2, jnp.float32(0.0),
-                             jnp.float32(0.0)])
-    new_center = gather_center + rot_y(theta) @ shift_local \
-        + jnp.stack([0.0, 0.4, 0.0])
+    new_len = hi1[2] - lo1[2]
+    mid1 = (hi1 + lo1) / 2.0
+    # zero the width-axis shift (scale_detector.py:184 center[0] = 0)
+    shift_local = jnp.stack([jnp.zeros_like(mid1[1]), mid1[1], mid1[2]])
+    new_center = g1_center + rot_y(theta) @ shift_local
+
+    g2_lwh = jnp.stack([lwh[0] + sin_b, lwh[1] + cos_b, lwh[2] + 0.8])
+    g2_center = center + jnp.stack([0.0, -0.2, 0.0])
+    inside2 = points_in_obb(scan, g2_center, g2_lwh, theta) & scan_mask
+    lo2, hi2 = _local_aabb(scan, inside2, g2_center, theta)
+    new_h = hi2[1] - lo2[1]
 
     ratio = new_len / jnp.maximum(lwh[0], 1e-6)
-    ok = (ratio >= max_length_diff) & (ratio <= 1.1) & jnp.any(inside)
+    ok = (ratio >= max_length_diff) & (ratio <= 1.1) & jnp.any(inside1) \
+        & jnp.any(inside2)
     tl, tw, th = template_dims
     out_center = jnp.where(ok, new_center, center)
     out_lwh = jnp.where(ok,

@@ -42,12 +42,13 @@ def test_optimize_scale_recovers_stretched_car():
 
 def test_bbox_reduce_shrinks_to_points():
     rng = np.random.default_rng(1)
-    # true car 3.5 long; fitted box says 3.88
+    # true car 3.5 long; fitted box says 3.88.  Template/fitter axis
+    # convention: x=width, y=height, z=length (templates.py).
     theta = 0.7
     rot = np.asarray(rot_y(jnp.float32(theta)))
-    local = np.stack([rng.uniform(-1.75, 1.75, 800),
+    local = np.stack([rng.uniform(-0.8, 0.8, 800),
                       rng.uniform(-0.7, 0.7, 800),
-                      rng.uniform(-0.8, 0.8, 800)], 1)
+                      rng.uniform(-1.75, 1.75, 800)], 1)
     center = np.array([1.0, 0.9, 12.0])
     scan = (local @ rot.T + center).astype(np.float32)
     mask = np.ones(len(scan), bool)
