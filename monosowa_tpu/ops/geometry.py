@@ -135,3 +135,14 @@ def points_in_obb(pts: jnp.ndarray, center: jnp.ndarray, lwh: jnp.ndarray,
     local = (pts - center) @ rot_y(ry)  # inverse rotate: R^T applied from right
     half = jnp.stack([lwh[..., 1], lwh[..., 2], lwh[..., 0]], -1) / 2.0
     return jnp.all(jnp.abs(local) <= half, axis=-1)
+
+
+def points_in_obb_r(pts: jnp.ndarray, center: jnp.ndarray,
+                    lwh: jnp.ndarray, rot: jnp.ndarray) -> jnp.ndarray:
+    """Containment for a general-rotation OBB (columns of ``rot`` are the
+    box axes) — the scale-lidar gather transforms a yaw box through an
+    arbitrary SE(3) ego-motion, so the transformed box is no longer
+    yaw-only (scale_detector.py:67-78)."""
+    local = (pts - center) @ rot                    # R^T (p - c) per row
+    half = jnp.stack([lwh[..., 1], lwh[..., 2], lwh[..., 0]], -1) / 2.0
+    return jnp.all(jnp.abs(local) <= half, axis=-1)

@@ -78,6 +78,7 @@ class PipelineConfig:
     use_ensemble_filter: bool = False   # frames_creation.use_hdbscan
     use_scale_detector: bool = False    # scale_detector.use_scale_detector
     use_bbox_reducer: bool = True       # scale_detector.use_bbox_reducer
+    scale_bbox_scale: float = 1.5       # scale_detector.bbox_scale
     use_dimensions_estimation: bool = False
     # optimization.use_dimensions_estimation_during_optim
     # persist fitted cars for use_add_data detector training (the
@@ -144,10 +145,17 @@ class PseudoLabeler:
         T_cur_to_ref.  Returns car dicts ready for the label writer."""
         cfg = self.cfg
 
+        # the real-LiDAR scale branch re-gathers from the live scans
+        # (scale_detector.py:14-104) — keep them only when that path is on
+        keep_scans = cfg.use_scale_detector and not cfg.use_pseudo_lidar
+        window_scans = [] if keep_scans else None
+
         cands = []
         for k in range(len(window_frames)):
             pts = get_points(k)
             masks = get_masks(k)
+            if keep_scans:
+                window_scans.append(pts)
             if pts is None or masks is None or len(masks) == 0:
                 cands.append(None)
                 continue
@@ -168,7 +176,10 @@ class PseudoLabeler:
         if not kept:
             return []
 
-        return self.label_from_cars(kept, points, ref_masks, window_frames)
+        return self.label_from_cars(
+            kept, points, ref_masks, window_frames,
+            scale_scan_source=((window_scans, transforms)
+                               if keep_scans else None))
 
     def _ref_scan(self, window_frames, get_points):
         """The reference frame's cam-frame scan, only when the real-lidar
@@ -186,7 +197,8 @@ class PseudoLabeler:
                         window_frames, precomputed=None,
                         precomputed_nms=None,
                         precomputed_refit=None,
-                        npts_override=None) -> List[dict]:
+                        npts_override=None,
+                        scale_scan_source=None) -> List[dict]:
         """Fit + NMS + assemble from aggregated per-car point clouds —
         the `optimization` stage when the `frames_aggregation` cache is
         already on disk (cache.load_merged_cars).
@@ -301,6 +313,26 @@ class PseudoLabeler:
                     continue
                 pts_i = np.asarray(batch.points[i])
                 mask_i = np.asarray(batch.mask[i])
+                if cfg.use_scale_detector and scale_scan_source is not None:
+                    # real-LiDAR branch: re-gather the standing car's
+                    # points from the live window scans inside the
+                    # bbox_scale-bloated fitted box
+                    # (extract_lidar_data_from_bbox_tracker,
+                    # scale_detector.py:14-104; pseudo-lidar short-circuits
+                    # to the aggregated cloud, :17-21)
+                    scans, tmats = scale_scan_source
+                    sl = scale_mod.extract_scale_lidar_scans(
+                        center[i], per_car_lwh[i], theta[i], scans, tmats,
+                        bbox_scale=cfg.scale_bbox_scale)
+                    if len(sl):
+                        pts_i = np.zeros((cfg.max_points, 3), np.float32)
+                        mask_i = np.zeros(cfg.max_points, bool)
+                        if len(sl) > cfg.max_points:
+                            idx = np.linspace(0, len(sl) - 1,
+                                              cfg.max_points).astype(int)
+                            sl = sl[idx]
+                        pts_i[:len(sl)] = sl
+                        mask_i[:len(sl)] = True
                 if cfg.use_scale_detector:
                     sres = scale_mod.optimize_scale(
                         jnp.asarray(pts_i), jnp.asarray(mask_i), bank_pts,

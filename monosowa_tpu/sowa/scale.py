@@ -45,7 +45,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from monosowa_tpu.ops import tfl
-from monosowa_tpu.ops.geometry import rot_y, points_in_obb
+from monosowa_tpu.ops.geometry import rot_y, points_in_obb, points_in_obb_r
 
 BIG = 1e9
 
@@ -169,6 +169,49 @@ def optimize_scale(scan: jnp.ndarray, scan_mask: jnp.ndarray,
         height=h_scales[hi[best2]] * cfg.template_height,
         x=bx, y=y_shifts[yi[best2]] + y0, z=bz, theta=theta,
         loss=losses2[best2])
+
+
+def extract_scale_lidar_scans(center, lwh, theta, scans, transforms,
+                              bbox_scale: float = 1.2) -> np.ndarray:
+    """Re-aggregate a standing car's points from live per-frame scans for
+    the scale optimizer — the real-LiDAR branch of
+    ``extract_lidar_data_from_bbox_tracker`` (scale_detector.py:14-104).
+    With ``use_pseudo_lidar: True`` the reference short-circuits to
+    ``scale_lidar = lidar`` (:17-21), which the pipeline's default path
+    already matches by fitting on the aggregated cloud.
+
+    Per neighbor frame: the fitted yaw box (dims x ``bbox_scale``,
+    scale_detector.bbox_scale / create_bboxes :121) is carried into the
+    frame with the inverse ego transform (:67-78 — the box center is
+    moved by T_inv and its rotation becomes T_inv[:3,:3] @ R_y(theta),
+    no longer yaw-only), live-scan points inside are gathered and
+    returned to the reference frame with T (:85-91).
+
+    ``scans``: list of (N_i, >=3) camera-frame arrays (one per frame);
+    ``transforms``: (T, 4, 4) T_cur_to_ref.  Returns (M, 3) ref-frame
+    points (possibly empty).
+    """
+    center = np.asarray(center, np.float64)
+    lwh = np.asarray(lwh, np.float64) * bbox_scale
+    ry = np.asarray(rot_y(jnp.float32(theta)), np.float64)
+    out = []
+    for scan, t in zip(scans, np.asarray(transforms, np.float64)):
+        if scan is None or len(scan) == 0:
+            continue
+        t_inv = np.linalg.inv(t)
+        c_cur = t_inv[:3, :3] @ center + t_inv[:3, 3]
+        r_cur = t_inv[:3, :3] @ ry
+        pts = np.asarray(scan, np.float64)[:, :3]
+        inside = np.asarray(points_in_obb_r(
+            jnp.asarray(pts), jnp.asarray(c_cur), jnp.asarray(lwh),
+            jnp.asarray(r_cur)))
+        if not inside.any():
+            continue
+        sel = pts[inside]
+        out.append(sel @ t[:3, :3].T + t[:3, 3])
+    if not out:
+        return np.zeros((0, 3))
+    return np.concatenate(out, 0)
 
 
 def _local_aabb(scan, inside, gather_center, theta):

@@ -217,6 +217,63 @@ def test_fallback_branch_parity(ref_reducer):
         np.testing.assert_allclose(our_d, ref_d, atol=2e-5)
 
 
+def test_scale_lidar_gather_matches_reference_sequence():
+    """The real-LiDAR scale re-aggregation (extract_lidar_data_from_
+    bbox_tracker, scale_detector.py:62-91) carries the bloated yaw box into
+    each frame with T_inv (center moved, R_cur = T_inv[:3,:3] @ R_y(theta)),
+    gathers live-scan points inside, and returns them with T.  Reproduce
+    that exact sequence with the open3d OBB stub and compare."""
+    r = np.random.default_rng(0)
+    theta = 0.6
+    center = np.array([1.0, 0.9, 14.0])
+    lwh = np.array([3.88, 1.63, 1.526])
+    bscale = 1.5
+    ry = np.asarray(rot_y(jnp.float32(theta)))
+
+    scans, tmats = [], []
+    for k in range(3):
+        t = np.eye(4)
+        ang = 0.05 * (k - 1)
+        t[:3, :3] = np.asarray(rot_y(jnp.float32(ang)))
+        t[2, 3] = -0.8 * (k - 1)
+        tmats.append(t)
+        t_inv = np.linalg.inv(t)
+        # car points planted in the ref frame, moved into frame k
+        local = np.stack([r.uniform(-0.8, 0.8, 300),
+                          r.uniform(-0.75, 0.75, 300),
+                          r.uniform(-1.9, 1.9, 300)], 1)
+        car_ref = local @ ry.T + center
+        clutter = center + r.uniform(-7, 7, (150, 3))
+        pts_ref = np.concatenate([car_ref, clutter])
+        scans.append((pts_ref @ t_inv[:3, :3].T + t_inv[:3, 3]
+                      ).astype(np.float32))
+
+    ours = scale_mod.extract_scale_lidar_scans(
+        center, lwh, theta, scans, np.stack(tmats), bbox_scale=bscale)
+
+    # reference-style computation with the stub OBB
+    expect = []
+    for scan, t in zip(scans, tmats):
+        t_inv = np.linalg.inv(t)
+        c4 = np.pad(center.reshape(3, 1), ((0, 1), (0, 0)))
+        c4[3] = 1.0
+        c_cur = (t_inv @ c4)[:3, 0]
+        # open3d extent order [w, h, l] on local (x, y, z)
+        obb = _OBB(c_cur, t_inv[:3, :3] @ ry,
+                   np.array([lwh[1], lwh[2], lwh[0]]) * bscale)
+        idx = obb.get_point_indices_within_bounding_box(
+            _V3d(np.asarray(scan, np.float64)))
+        if not idx:
+            continue
+        sel = np.asarray(scan, np.float64)[idx]
+        expect.append(sel @ t[:3, :3].T + t[:3, 3])
+    expect = np.concatenate(expect, 0)
+
+    assert len(ours) == len(expect)
+    assert len(ours) > 600          # the planted car is captured each frame
+    np.testing.assert_allclose(ours, expect, atol=1e-5)
+
+
 def test_off_center_cloud_recenters_like_reference(ref_reducer):
     """Shifted clouds exercise the y/length recentering (width shift must
     stay zeroed)."""
