@@ -311,7 +311,8 @@ def fit_deformable_batch(verts0: jnp.ndarray, edges: jnp.ndarray,
                          adj: jnp.ndarray, mirror_idx: jnp.ndarray,
                          scans: jnp.ndarray, scan_masks: jnp.ndarray,
                          centers: jnp.ndarray, thetas: jnp.ndarray,
-                         cfg: DeformConfig = DeformConfig()) -> DeformResult:
+                         cfg: DeformConfig = DeformConfig(),
+                         init_dims: jnp.ndarray = None) -> DeformResult:
     """Batched mesh fit (deformable_mesh_fit_lim_dof_batch :330-517).
 
     verts0 (V, 3) canonical mesh; scans (B, S, 3) camera-frame points,
@@ -319,6 +320,15 @@ def fit_deformable_batch(verts0: jnp.ndarray, edges: jnp.ndarray,
     real rows (they become the tfl_knn validity weights; tfl_new runs
     unmasked, as in the reference); centers (B, 3) + thetas (B,) initial
     poses from the grid fit.
+
+    ``init_dims`` (B, 3) optional per-car (length, width, height) from the
+    grid fit: the reference scales the template to EACH car's fitted dims
+    before optimizing (deformable_mesh.py:368-392) — critical because the
+    dof2 scales are frozen for the first ``scale_release_iter`` iterations,
+    so an unscaled template would optimize against wrongly-sized geometry.
+    With ``init_dims`` the returned ``scales`` are relative to the car's
+    initial dims (the reference frame); without it they are relative to
+    the template's own extents.
 
     The reference's final re-pose uses the negated yaw (:496-503) — harmless
     there because only the y-extent (rotation-invariant) is consumed for
@@ -328,6 +338,15 @@ def fit_deformable_batch(verts0: jnp.ndarray, edges: jnp.ndarray,
 
     b = scans.shape[0]
     nv = verts0.shape[0]
+    if init_dims is not None:
+        # mesh axis convention (templates.py): x = width, y = height,
+        # z = length; init_dims is (l, w, h)
+        ext = (jnp.max(verts0, axis=0) - jnp.min(verts0, axis=0))
+        dims_xyz = jnp.stack([init_dims[:, 1], init_dims[:, 2],
+                              init_dims[:, 0]], axis=1)
+        verts0_b = verts0[None] * (dims_xyz / ext)[:, None, :]   # (B, V, 3)
+    else:
+        verts0_b = jnp.broadcast_to(verts0, (b, nv, 3))
     degree = jnp.sum(adj != jnp.arange(nv)[:, None], axis=1)
     weights = scan_masks.astype(scans.dtype)
 
@@ -338,8 +357,8 @@ def fit_deformable_batch(verts0: jnp.ndarray, edges: jnp.ndarray,
 
     def loss_fn(params, it):
         vb = jax.vmap(
-            lambda y, d, cen, th: _apply_dof(verts0, y, d, cen, th, it, cfg)
-        )(params["y_off"], params["dof2"], centers, thetas)
+            lambda v0, y, d, cen, th: _apply_dof(v0, y, d, cen, th, it, cfg)
+        )(verts0_b, params["y_off"], params["dof2"], centers, thetas)
         per = _losses_batch(vb, scans, weights,
                             thetas + params["dof2"][:, 6],
                             edges, adj, degree, mirror_idx, cfg)
@@ -360,11 +379,11 @@ def fit_deformable_batch(verts0: jnp.ndarray, edges: jnp.ndarray,
     (params, _), per_hist = jax.lax.scan(
         step, (params, opt_state), jnp.arange(cfg.iterations))
 
-    def final(y_off, dof2, cen, th):
-        return _apply_dof(verts0, y_off, dof2, cen, th,
+    def final(v0, y_off, dof2, cen, th):
+        return _apply_dof(v0, y_off, dof2, cen, th,
                           jnp.asarray(cfg.iterations), cfg)
 
-    verts = jax.vmap(final)(params["y_off"], params["dof2"],
+    verts = jax.vmap(final)(verts0_b, params["y_off"], params["dof2"],
                             centers, thetas)
     scales = jnp.clip(params["dof2"][:, 3:6], cfg.scale_min, cfg.scale_max)
     return DeformResult(verts=verts,

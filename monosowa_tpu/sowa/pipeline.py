@@ -313,6 +313,10 @@ class PseudoLabeler:
                     continue
                 pts_i = np.asarray(batch.points[i])
                 mask_i = np.asarray(batch.mask[i])
+                # scale_lidar feeds ONLY optimize_scale (optimizer.py:186-188);
+                # the bbox reducer always gathers from the AGGREGATED cloud
+                # cars[i].lidar (bbox_reducer_tracked, scale_detector.py:161,204)
+                scale_pts_i, scale_mask_i = pts_i, mask_i
                 if cfg.use_scale_detector and scale_scan_source is not None:
                     # real-LiDAR branch: re-gather the standing car's
                     # points from the live window scans inside the
@@ -324,18 +328,24 @@ class PseudoLabeler:
                     sl = scale_mod.extract_scale_lidar_scans(
                         center[i], per_car_lwh[i], theta[i], scans, tmats,
                         bbox_scale=cfg.scale_bbox_scale)
-                    if len(sl):
-                        pts_i = np.zeros((cfg.max_points, 3), np.float32)
-                        mask_i = np.zeros(cfg.max_points, bool)
-                        if len(sl) > cfg.max_points:
-                            idx = np.linspace(0, len(sl) - 1,
-                                              cfg.max_points).astype(int)
-                            sl = sl[idx]
-                        pts_i[:len(sl)] = sl
-                        mask_i[:len(sl)] = True
+                    if len(sl) == 0:
+                        # empty scale_lidar: the reference skips both the
+                        # scale optimizer and the reducer for this car
+                        # (optimizer.py:47, scale_detector.py:139 gate on a
+                        # non-empty gather) — keep the grid-fit pose/dims
+                        continue
+                    scale_pts_i = np.zeros((cfg.max_points, 3), np.float32)
+                    scale_mask_i = np.zeros(cfg.max_points, bool)
+                    if len(sl) > cfg.max_points:
+                        idx = np.linspace(0, len(sl) - 1,
+                                          cfg.max_points).astype(int)
+                        sl = sl[idx]
+                    scale_pts_i[:len(sl)] = sl
+                    scale_mask_i[:len(sl)] = True
                 if cfg.use_scale_detector:
                     sres = scale_mod.optimize_scale(
-                        jnp.asarray(pts_i), jnp.asarray(mask_i), bank_pts,
+                        jnp.asarray(scale_pts_i), jnp.asarray(scale_mask_i),
+                        bank_pts,
                         jnp.asarray([center[i, 0], center[i, 1],
                                      center[i, 2], theta[i]], jnp.float32))
                     center[i] = [float(sres.x), float(sres.y), float(sres.z)]
@@ -607,9 +617,16 @@ class PseudoLabeler:
             use_bank = bank is not None
 
         quota = cfg.max_points // cfg.bank_slots
+        # real-LiDAR scale detector re-gathers from the live window scans
+        # (scale_detector.py:14-104) — keep them per prepared item so this
+        # batched entry point matches label_frame's behaviour
+        keep_scans = cfg.use_scale_detector and not cfg.use_pseudo_lidar
 
         def prep(job):
             window_frames = job["window_frames"]
+            window_scans = ([job["get_points"](k)
+                             for k in range(len(window_frames))]
+                            if keep_scans else None)
             cands = []
             for k in range(len(window_frames)):
                 if have_ids:
@@ -646,7 +663,7 @@ class PseudoLabeler:
                     max_distance=cfg.candidate.max_distance_pseudo_lidar)
                 return dict(job=job, kept=kept, points=None,
                             ref_masks=ref_masks, window=window_frames,
-                            slots=slots,
+                            slots=slots, scans=window_scans,
                             npts=[s.npts for s in slots])
             kept, points, ref_masks = aggregation.aggregate_tracks(
                 tracks, job["transforms"], window_frames, cfg.keep_k_frames,
@@ -658,7 +675,7 @@ class PseudoLabeler:
                 clever=cfg.use_clever_aggregation)
             return dict(job=job, kept=kept, points=points,
                         ref_masks=ref_masks, window=window_frames,
-                        slots=None,
+                        slots=None, scans=window_scans,
                         npts=[p.shape[0] for p in points])
 
         # host prep (tracking / aggregation — numpy + scipy, GIL-releasing)
@@ -838,12 +855,17 @@ class PseudoLabeler:
             sel = np.where(owners == fi)[0]
             pre = ((centers[sel], thetas[sel]) if len(sel) else
                    (np.zeros((0, 3)), np.zeros(0)))
-            cars = self.label_from_cars(item["kept"], item["points"],
-                                        item["ref_masks"], item["window"],
-                                        precomputed=pre,
-                                        precomputed_nms=nms_by_frame.get(fi),
-                                        precomputed_refit=refit_by_frame[fi],
-                                        npts_override=item["npts"])
+            cars = self.label_from_cars(
+                item["kept"], item["points"],
+                item["ref_masks"], item["window"],
+                precomputed=pre,
+                precomputed_nms=nms_by_frame.get(fi),
+                precomputed_refit=refit_by_frame[fi],
+                npts_override=item["npts"],
+                scale_scan_source=((item["scans"],
+                                    item["job"]["transforms"])
+                                   if item.get("scans") is not None
+                                   else None))
             out_path = item["job"]["out_path"]
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             write_pseudo_label_file(out_path, cars)

@@ -172,7 +172,7 @@ def optimize_scale(scan: jnp.ndarray, scan_mask: jnp.ndarray,
 
 
 def extract_scale_lidar_scans(center, lwh, theta, scans, transforms,
-                              bbox_scale: float = 1.2) -> np.ndarray:
+                              bbox_scale: float = 1.5) -> np.ndarray:
     """Re-aggregate a standing car's points from live per-frame scans for
     the scale optimizer — the real-LiDAR branch of
     ``extract_lidar_data_from_bbox_tracker`` (scale_detector.py:14-104).
