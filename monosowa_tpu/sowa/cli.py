@@ -404,6 +404,267 @@ class KittiObjectDriver:
         return (375, 1242)
 
 
+class WaymoSegmentDriver:
+    """Drives raw multi-camera Waymo segments through the 2D-tracker
+    product path (main_class.main_waymo, tracker_for_merging: '2D').
+
+    On-disk segment layout (one dir per segment under paths.waymo_path —
+    tools/waymo_extract_segment.py writes it from a TFRecord):
+
+      <segment>/camera_{0..4}/{frame:06d}.png   slot-ordered images
+                                                (get_imgs order: SIDE_LEFT,
+                                                FRONT_LEFT, FRONT,
+                                                FRONT_RIGHT, SIDE_RIGHT)
+      <segment>/lidar/{frame:06d}.npz           key "points": (N, 6) fused
+                                                vehicle-frame xyz + cam id
+                                                + (u, v) pixel
+      <segment>/poses.npy                       (T, 4, 4) T_world<-vehicle
+
+    Stage caches under merged_frames_path mirror the reference taxonomy
+    (output.py:127-172): homographies/<seg>.npz, detandtracked/<seg>.npz
+    (the reference's detandtrackedV2 blobs), masks_raw/<seg>/ for
+    precomputed pair-canvas masks; labels under labels_path/<seg>/.
+    """
+
+    def __init__(self, cfg: Config, flags: PipelineFlags):
+        from monosowa_tpu.sowa import waymo2d
+
+        self.cfg = cfg
+        self.flags = flags
+        self.w2d = waymo2d
+        paths = cfg.paths or Config({})
+        self.waymo_path = paths.get("waymo_path", ".")
+        self.cache = paths.get("merged_frames_path", "./cache")
+        self.labels_path = paths.get("labels_path", "./labels")
+        self.pcfg = pipeline_config_from(cfg)
+
+    def segments(self) -> List[str]:
+        return sorted(d for d in os.listdir(self.waymo_path)
+                      if os.path.isdir(os.path.join(self.waymo_path, d)))
+
+    def run(self, seq_start: Optional[int], seq_end: Optional[int]) -> int:
+        segs = self.segments()[seq_start or 0:seq_end]
+        n = 0
+        for seg in segs:
+            if self.flags.generate_homographies:
+                n += self._homographies_segment(seg)
+            elif self.flags.generate_raw_masks_or_tracking:
+                n += self._tracking_segment(seg)
+            elif self.flags.generate_transformations_only:
+                n += self._transforms_segment(seg)
+            elif (self.flags.do_optim
+                  or self.flags.generate_merged_frames_only):
+                n += self._optimize_segment(seg)
+            else:
+                raise NotImplementedError(
+                    f"action {self.flags.action!r} for raw waymo segments")
+        return n
+
+    # -- segment data accessors -----------------------------------------
+    def _seg_dir(self, seg):
+        return os.path.join(self.waymo_path, seg)
+
+    def _n_frames(self, seg) -> int:
+        cam0 = os.path.join(self._seg_dir(seg), "camera_2")
+        return len([f for f in os.listdir(cam0) if f.endswith(".png")])
+
+    def _get_imgs(self, seg):
+        from PIL import Image
+
+        def get(i):
+            out = []
+            for slot in range(5):
+                p = os.path.join(self._seg_dir(seg), f"camera_{slot}",
+                                 f"{i:06d}.png")
+                with Image.open(p) as im:
+                    out.append(np.asarray(im))
+            return out
+        return get
+
+    def _layout(self, seg):
+        imgs = self._get_imgs(seg)(0)
+        ist = self.cfg.image_stitching or Config({})
+        return self.w2d.PairLayout(
+            cam_h=imgs[2].shape[0], cam_w=imgs[2].shape[1],
+            side_h=imgs[0].shape[0],
+            height_pad=int(ist.get("height_pxl_pad", 100)),
+            width_pad=int(ist.get("width_pxl_pad", 750)))
+
+    def _lidar(self, seg, i) -> np.ndarray:
+        p = os.path.join(self._seg_dir(seg), "lidar", f"{i:06d}.npz")
+        with np.load(p) as z:
+            return z["points"]
+
+    def _poses(self, seg) -> np.ndarray:
+        return np.load(os.path.join(self._seg_dir(seg), "poses.npy"))
+
+    def _homos_path(self, seg):
+        return os.path.join(self.cache, "homographies", f"{seg}.npz")
+
+    def _tracked_path(self, seg):
+        return os.path.join(self.cache, "detandtracked", f"{seg}.npz")
+
+    # -- stages ----------------------------------------------------------
+    def _homographies_segment(self, seg) -> int:
+        """`--action homographies` (perform_img_stitching homography branch
+        + find_the_best_homo, stitching.py:29-216)."""
+        out = self._homos_path(seg)
+        if os.path.exists(out):
+            return 0
+        layout = self._layout(seg)
+        matcher = stitching_matcher_backend(self.cfg)
+        homos = self.w2d.estimate_pair_homographies(
+            self._get_imgs(seg), self._n_frames(seg), matcher, layout)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        np.savez_compressed(
+            out, homos=np.stack([h if h is not None else np.full((3, 3),
+                                                                 np.nan)
+                                 for h in homos]))
+        return 1
+
+    def _load_homos(self, seg):
+        with np.load(self._homos_path(seg)) as z:
+            hs = z["homos"]
+        return [None if np.isnan(h).any() else h for h in hs]
+
+    def _pair_masks(self, seg, i, z, canvas) -> List[np.ndarray]:
+        """Detection masks for one pair canvas: precomputed masks_raw
+        cache first, else the configured live mask backend."""
+        cached = masks_mod.load_masks(
+            os.path.join(self.cache, "masks_raw", seg), f"{i:06d}_{z}")
+        if cached is not None:
+            return cached
+        backend = mask_backend(self.cfg)
+        if backend is None:
+            return []
+        return backend.predict_masks(canvas)
+
+    def _tracking_segment(self, seg) -> int:
+        """`--action mask_tracking` (perform_stitching_and_trackingV2 +
+        perform_tracking, main_class.py:60-66, tracker_ODTrack.py:60-155)."""
+        out = self._tracked_path(seg)
+        if os.path.exists(out):
+            return 0
+        layout = self._layout(seg)
+        homos = self._load_homos(seg)
+        get_imgs = self._get_imgs(seg)
+        n = self._n_frames(seg)
+        stitched, det_masks = [], []
+        for i in range(n):
+            canvases = self.w2d.stitch_frame(get_imgs(i), homos, layout)
+            stitched.append(canvases)
+            det_masks.append([self._pair_masks(seg, i, z, canvases[z])
+                              for z in range(4)])
+        cars = self.w2d.track_pair_sequence(stitched, det_masks, homos,
+                                            layout)
+        obs_arr = np.empty(len(cars), object)   # ragged-safe object array
+        for ci, o in enumerate(cars):
+            obs_arr[ci] = np.asarray(o, int)
+        payload = {"cars": obs_arr}
+        for i in range(n):
+            for z in range(4):
+                ms = det_masks[i][z]
+                if ms:
+                    stack = np.stack([np.asarray(m, bool) for m in ms])
+                    payload[f"m_{i}_{z}"] = np.packbits(stack, axis=-1)
+                    payload[f"s_{i}_{z}"] = np.asarray(stack.shape)
+        os.makedirs(os.path.dirname(out), exist_ok=True)
+        np.savez_compressed(out, **payload)
+        return 1
+
+    def _load_tracked(self, seg, n_frames):
+        with np.load(self._tracked_path(seg), allow_pickle=True) as z:
+            cars = [[tuple(row) for row in obs] for obs in z["cars"]]
+            det_masks = []
+            for i in range(n_frames):
+                frame = []
+                for zi in range(4):
+                    key = f"m_{i}_{zi}"
+                    if key in z:
+                        shape = z[f"s_{i}_{zi}"]
+                        packed = z[key]
+                        unpacked = np.unpackbits(
+                            packed, axis=-1)[..., :shape[-1]]
+                        frame.append(list(unpacked.astype(bool)))
+                    else:
+                        frame.append([])
+                det_masks.append(frame)
+        return cars, det_masks
+
+    def _transforms_segment(self, seg) -> int:
+        """`--action transformations`: vehicle poses -> camera-frame
+        T_cur_to_ref windows (calculate_transformations_waymo)."""
+        out_dir = os.path.join(self.cache, "transformations", seg)
+        poses = self._poses(seg)
+        rng = int((self.cfg.frames_creation or Config({}))
+                  .get("nscans_transformation_range", 130))
+        n = 0
+        for i in range(len(poses)):
+            fid = f"{i:06d}"
+            out = transforms_mod.transforms_cache_path(out_dir, fid)
+            if os.path.exists(out):
+                continue
+            lo, hi = max(0, i - rng), min(len(poses), i + rng + 1)
+            t_cam = self.w2d.camera_transforms_from_vehicle(
+                poses[lo:hi], i - lo)
+            full = np.tile(np.eye(4), (2 * rng + 1, 1, 1))
+            full[rng - (i - lo):rng + (hi - i)] = t_cam
+            transforms_mod.save_window_transforms(out_dir, fid, full)
+            n += 1
+        return n
+
+    def _optimize_segment(self, seg) -> int:
+        """`--action optimization` through the 2D-tracked path
+        (load_and_prepare_lidar_scan_from_multiple_waymo_tracker + the
+        main_waymo per-frame fit loop)."""
+        from monosowa_tpu.kittiio.labels import write_pseudo_label_file
+        from monosowa_tpu.sowa import aggregation, lomm
+
+        layout = self._layout(seg)
+        homos = self._load_homos(seg)
+        n_frames = self._n_frames(seg)
+        cars2d, det_masks = self._load_tracked(seg, n_frames)
+        poses = self._poses(seg)
+        labeler = PseudoLabeler(self.pcfg)
+        before, after = self.pcfg.nscans_before, self.pcfg.nscans_after
+        lidars = [self._lidar(seg, i) for i in range(n_frames)]
+        n_done = 0
+        for ref in range(n_frames):
+            out = os.path.join(self.labels_path, seg, f"{ref:06d}.txt")
+            if os.path.exists(out):
+                continue
+            lo, hi = max(0, ref - before), min(n_frames, ref + after + 1)
+            window = list(range(lo - ref, hi - ref))
+            t_cam = self.w2d.camera_transforms_from_vehicle(
+                poses[lo:hi], ref - lo)
+            tracks = self.w2d.tracks_from_2d(
+                cars2d, det_masks, lidars, homos, t_cam, ref, window,
+                layout)
+            lomm.classify_all(tracks, method=self.pcfg.moving_method)
+            kept, points, ref_masks = aggregation.aggregate_tracks(
+                tracks, t_cam, window, self.pcfg.keep_k_frames,
+                self.pcfg.min_standing_points)
+            cars = labeler.label_from_cars(kept, points, ref_masks, window)
+            os.makedirs(os.path.dirname(out), exist_ok=True)
+            write_pseudo_label_file(out, cars)
+            n_done += 1
+        return n_done
+
+
+def stitching_matcher_backend(cfg: Config):
+    """Matcher for homography estimation: ORB by default (checkpoint-free);
+    a LoFTR checkpoint path in the config plugs in the TPU-served
+    EfficientLoFTR (models/efficientloftr.py)."""
+    from monosowa_tpu.sowa import stitching as stitch_mod
+    return stitch_mod.OrbMatcherBackend()
+
+
+def mask_backend(cfg: Config):
+    """Live instance-segmentation backend, when configured; None means
+    cached-artifact mode only (masks_raw/)."""
+    return None
+
+
 def main(argv: Optional[List[str]] = None) -> int:
     args = parse_args(argv)
     cfg = load_config(args.config)
@@ -416,9 +677,9 @@ def main(argv: Optional[List[str]] = None) -> int:
         n = driver.run(args.seq_start, args.seq_end,
                        shuffle=args.dataset in ("kitti360", "all"))
     else:
-        raise NotImplementedError(
-            "raw waymo ingestion runs through tools/waymo_to_kitti_projected"
-            ".py first, then --dataset waymo_converted")
+        # raw waymo: the 2D-tracker stitching path over extracted segments
+        driver = WaymoSegmentDriver(cfg, flags)
+        n = driver.run(args.seq_start, args.seq_end)
     print(f"[{args.action}] processed {n} frames in {time.time() - t0:.1f}s")
     return 0
 
