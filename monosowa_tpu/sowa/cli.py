@@ -97,11 +97,14 @@ class KittiObjectDriver:
     with caches under merged_frames_path (lidar_raw/, masks_raw/,
     transformations/) and outputs under labels_path."""
 
-    def __init__(self, cfg: Config, flags: PipelineFlags):
+    def __init__(self, cfg: Config, flags: PipelineFlags,
+                 dataset: str = "kitti"):
         self.cfg = cfg
         self.flags = flags
+        self.dataset = dataset
         paths = cfg.paths or Config({})
         self.kitti_path = paths.get("kitti_path", ".")
+        self.all_dataset_path = paths.get("all_dataset_path", None)
         self.cache = paths.get("merged_frames_path", "./cache")
         self.labels_path = paths.get("labels_path", "./labels")
         self.pcfg = pipeline_config_from(cfg)
@@ -187,15 +190,64 @@ class KittiObjectDriver:
         return Calibration(os.path.join(self.kitti_path, "training",
                                         "calib", f"{fid}.txt"))
 
+    @staticmethod
+    def _read_calib_safe(path: str):
+        from monosowa_tpu.kittiio import Calibration
+        try:
+            return Calibration(path)
+        except (OSError, KeyError):
+            return None
+
     def _transforms_frame(self, fid: str) -> int:
+        """`--action transformations`, dataset-dispatched pose sources
+        (loader.py:901-1013):
+
+        * kitti360 / all: ``data_poses/<seq>/cam0_to_world.txt`` windows
+          (calculate_transformations_all :942-982) — frame ids are
+          ``<sequence>_<number>``;
+        * waymo_converted: per-frame calib ``Cur_pose`` rows
+          (calculate_transformations_waymoc :984-1013), sequence layout
+          ``training/<seq>/calib/`` under all_dataset_path when the frame
+          id carries a sequence prefix, else the flat object-layout calib
+          dir (numeric neighbour frames);
+        * kitti (object layout): identity windows — single-shot frames
+          have no pose chain; raw-sequence OXTS chains come through
+          tools/kitti_raw_transforms.py.
+        """
         out = transforms_mod.transforms_cache_path(self.transforms_dir, fid)
         if os.path.exists(out):
             return 0
-        # KITTI object frames are single shots; raw-sequence OXTS chains
-        # come through tools/kitti_raw_transforms.py.  Identity window here.
         rng = int((self.cfg.frames_creation or Config({}))
                   .get("nscans_transformation_range", 130))
-        t = np.tile(np.eye(4), (2 * rng + 1, 1, 1))
+        t = None
+        if self.dataset in ("kitti360", "all") and self.all_dataset_path:
+            folder, _, number = fid.rpartition("_")
+            pose_file = os.path.join(self.all_dataset_path, "data_poses",
+                                     folder, "cam0_to_world.txt")
+            if folder and os.path.exists(pose_file):
+                poses = transforms_mod.read_cam0_to_world(pose_file)
+                t = transforms_mod.k360_window_transforms(
+                    poses, int(number), rng, rng)
+        elif self.dataset == "waymo_converted":
+            folder, _, number = fid.rpartition("_")
+            seq_calib = (os.path.join(self.all_dataset_path, "training",
+                                      folder, "calib")
+                         if self.all_dataset_path and folder else None)
+            if seq_calib and os.path.isdir(seq_calib):
+                t = transforms_mod.waymoc_window_transforms(
+                    seq_calib, int(number), rng, rng)
+            else:
+                flat_calib = os.path.join(self.kitti_path, "training",
+                                          "calib")
+                ref = self._read_calib_safe(os.path.join(flat_calib,
+                                                         f"{fid}.txt"))
+                if ref is not None and ref.pose is not None:
+                    width = len(fid)
+                    t = transforms_mod.waymoc_window_transforms(
+                        flat_calib, int(fid), rng, rng,
+                        name_fn=lambda i: str(i).zfill(width))
+        if t is None:
+            t = np.tile(np.eye(4), (2 * rng + 1, 1, 1))
         transforms_mod.save_window_transforms(self.transforms_dir, fid, t)
         return 1
 
@@ -671,7 +723,7 @@ def main(argv: Optional[List[str]] = None) -> int:
     flags = PipelineFlags(args.action)
     t0 = time.time()
     if args.dataset in ("kitti", "all", "waymo_converted", "kitti360"):
-        driver = KittiObjectDriver(cfg, flags)
+        driver = KittiObjectDriver(cfg, flags, dataset=args.dataset)
         # KITTI-360 workers draw seed-360-shuffled disjoint random frames
         # (main_class.py:360, 636-646); the other datasets iterate in order
         n = driver.run(args.seq_start, args.seq_end,

@@ -60,6 +60,81 @@ def _window_pack(rel: np.ndarray, ref: int, rng: int) -> np.ndarray:
     return out
 
 
+def read_cam0_to_world(path: str):
+    """KITTI-360 ``data_poses/<seq>/cam0_to_world.txt`` -> dense
+    (max_frame+1, 4, 4) pose array with ZERO matrices at the gaps
+    (calculate_transformations_all, loader.py:948-957)."""
+    with open(path) as f:
+        lines = [ln for ln in f.read().splitlines() if ln.strip()]
+    max_frame = int(lines[-1].split(" ", 1)[0])
+    poses = np.zeros((max_frame + 1, 4, 4))
+    for ln in lines:
+        frame, rest = ln.split(" ", 1)
+        poses[int(frame)] = np.array(
+            [float(x) for x in rest.split()]).reshape(4, 4)
+    return poses
+
+
+def k360_window_transforms(poses: np.ndarray, number: int,
+                           nscans_before: int, nscans_after: int
+                           ) -> np.ndarray:
+    """cam0_to_world poses -> (before+after+1, 4, 4) ``T_cur_to_ref``
+    with the reference's exact edge semantics
+    (calculate_transformations_all, loader.py:942-982):
+
+    * ``number`` beyond the pose table -> an all-zero window (:958-963);
+    * a zero REFERENCE pose -> an all-zero window (:966);
+    * zero/out-of-range neighbour poses -> zero entries (:968-973);
+    * otherwise ``inv(T_ref) @ T_cur`` (camera poses; no conjugation).
+    """
+    n = nscans_before + nscans_after + 1
+    out = np.zeros((n, 4, 4))
+    if number >= len(poses):
+        return out
+    t_ref = poses[number]
+    if np.all(t_ref == 0):
+        return out
+    inv_ref = np.linalg.inv(t_ref)
+    for i in range(-nscans_before, nscans_after + 1):
+        j = number + i
+        if j < 0 or j >= len(poses) or np.all(poses[j] == 0):
+            continue
+        out[i + nscans_before] = inv_ref @ poses[j]
+    return out
+
+
+def waymoc_window_transforms(calib_dir: str, number: int,
+                             nscans_before: int, nscans_after: int,
+                             name_fn=None) -> np.ndarray:
+    """waymo_converted per-frame calib files (``Cur_pose`` +
+    ``Tr_velo_to_cam`` rows, the converter's appended pose) ->
+    (before+after+1, 4, 4) ``T_cur_to_ref``
+    (calculate_transformations_waymoc, loader.py:984-1013):
+
+        T = Tr_velo_to_cam_cur @ inv(pose_ref) @ pose_cur @ inv(Tr_velo_to_cam_cur)
+
+    Missing neighbour calib files leave zero entries; ``name_fn(i)`` maps a
+    frame number to the calib file stem (default: 10-digit zero pad, the
+    converter's naming)."""
+    from monosowa_tpu.kittiio import Calibration
+
+    name_fn = name_fn or (lambda i: f"{i:010d}")
+    ref = Calibration(os.path.join(calib_dir, name_fn(number) + ".txt"))
+    inv_ref_pose = np.linalg.inv(ref.pose)
+    n = nscans_before + nscans_after + 1
+    out = np.zeros((n, 4, 4), np.float32)
+    for i in range(number - nscans_before, number + nscans_after + 1):
+        p = os.path.join(calib_dir, name_fn(i) + ".txt")
+        if i < 0 or not os.path.exists(p):
+            continue
+        cal = Calibration(p)
+        v2c = np.eye(4)
+        v2c[:3] = cal.V2C
+        t = v2c @ inv_ref_pose @ cal.pose @ np.linalg.inv(v2c)
+        out[i - number + nscans_before] = t
+    return out
+
+
 def transforms_cache_path(cache_dir: str, frame: str) -> str:
     return os.path.join(cache_dir, f"{frame}.npy")
 
