@@ -90,15 +90,110 @@ def binary_both_way_loss(scan, scan_mask, templates, radius) -> jnp.ndarray:
     return -(t_frac + s_frac)
 
 
+def binary_one_way_loss(scan, scan_mask, templates, radius) -> jnp.ndarray:
+    """'binary1way' (loss.py:62-69): -(template points within radius of the
+    scan) / |T| — one directional count only."""
+    d2 = pairwise_sq_dists(templates, scan)
+    d2 = jnp.where(scan_mask[..., None, :], d2, BIG)
+    hits = jnp.sum(jnp.min(d2, axis=-1) < radius * radius, axis=-1)
+    return -hits.astype(jnp.float32) / templates.shape[-2]
+
+
 def chamfer_loss(scan, scan_mask, templates) -> jnp.ndarray:
-    """sqrt of (sum NN dist^2 both ways, each normalized) — loss.py:25-34."""
+    """'chamfer' (avg_chamfer_distance, loss.py:24-33):
+    sqrt(sum(min d2 scan->temp)/|S| + sum(min d2 temp->scan)/|T|) — each
+    direction normalized by ITS OWN cloud size."""
     d2 = pairwise_sq_dists(templates, scan)
     d2s = jnp.where(scan_mask[..., None, :], d2, BIG)
     n_scan = jnp.maximum(jnp.sum(scan_mask, axis=-1), 1)
-    t_term = jnp.sum(jnp.min(d2s, axis=-1), axis=-1) / n_scan
+    t_term = jnp.sum(jnp.min(d2s, axis=-1), axis=-1) / templates.shape[-2]
     s_term = jnp.sum(jnp.where(scan_mask, jnp.min(d2, axis=-2), 0.0),
-                     axis=-1) / templates.shape[-2]
+                     axis=-1) / n_scan
     return jnp.sqrt(t_term + s_term)
+
+
+def _masked_median(vals, valid) -> jnp.ndarray:
+    """Median over the VALID entries only (numpy semantics: mean of the two
+    middle order statistics for even counts).  vals (..., N), valid (..., N)
+    boolean; invalid entries sort to the end."""
+    big = jnp.where(valid, vals, BIG)
+    s = jnp.sort(big, axis=-1)
+    n = jnp.maximum(jnp.sum(valid, axis=-1), 1)
+    lo = (n - 1) // 2
+    hi = n // 2
+    take = lambda i: jnp.take_along_axis(s, i[..., None], axis=-1)[..., 0]
+    return 0.5 * (take(lo) + take(hi))
+
+
+def median_one_way_loss(scan, scan_mask, templates) -> jnp.ndarray:
+    """'med1way' (avg_med_distance_only_temp_to_scan, loss.py:35-42):
+    median(min d2 temp->scan) / |T| (yes, a median divided by a count —
+    the reference's exact formula)."""
+    d2 = pairwise_sq_dists(templates, scan)
+    d2 = jnp.where(scan_mask[..., None, :], d2, BIG)
+    med = jnp.median(jnp.min(d2, axis=-1), axis=-1)
+    return med / templates.shape[-2]
+
+
+def median_both_loss(scan, scan_mask, templates) -> jnp.ndarray:
+    """'medboth' (avg_med_distance, loss.py:13-22):
+    sqrt(median(min d2 scan->temp)/|S| + median(min d2 temp->scan)/|T|)."""
+    d2 = pairwise_sq_dists(templates, scan)
+    d2s = jnp.where(scan_mask[..., None, :], d2, BIG)
+    n_scan = jnp.maximum(jnp.sum(scan_mask, axis=-1), 1)
+    t_med = jnp.median(jnp.min(d2s, axis=-1), axis=-1)
+    s_med = _masked_median(jnp.min(d2, axis=-2),
+                           jnp.broadcast_to(scan_mask,
+                                            d2.shape[:-2] + scan.shape[:-1]))
+    return jnp.sqrt(s_med / n_scan + t_med / templates.shape[-2])
+
+
+def _trim_mean(vals, valid, proportion_cut_high) -> jnp.ndarray:
+    """custom_trim_mean (loss.py:56-60): sort ascending, mean of the first
+    int((1 - p) * n) entries; masked entries sort to the end."""
+    big = jnp.where(valid, vals, BIG)
+    s = jnp.sort(big, axis=-1)
+    n_valid = jnp.sum(valid, axis=-1)
+    n_use = jnp.maximum((
+        (1.0 - proportion_cut_high) * n_valid).astype(jnp.int32), 1)
+    idx = jnp.arange(s.shape[-1])
+    keep = idx < n_use[..., None]
+    return jnp.sum(jnp.where(keep, s, 0.0), axis=-1) / n_use
+
+
+def trimmed_loss(scan, scan_mask, templates, trim) -> jnp.ndarray:
+    """'trimmed' (avg_trim_distance, loss.py:44-54): EUCLIDEAN distances,
+    high-trimmed means of both directions, unnormalized sum."""
+    d = jnp.sqrt(pairwise_sq_dists(templates, scan) + 1e-12)
+    ds = jnp.where(scan_mask[..., None, :], d, BIG)
+    t_min = jnp.min(ds, axis=-1)                               # per template
+    s_min = jnp.min(d, axis=-2)                                # per scan pt
+    t_full = jnp.ones(t_min.shape, bool)
+    s_valid = jnp.broadcast_to(scan_mask, s_min.shape)
+    return (_trim_mean(s_min, s_valid, trim)
+            + _trim_mean(t_min, t_full, trim))
+
+
+def tfl_loss(scan, scan_mask, templates, kind: str, radius: float = 0.2,
+             steepness: float = 10.0, trim: float = 0.2) -> jnp.ndarray:
+    """The reference's ``loss_function`` config dispatch (compute_loss,
+    loss.py:98-116).  ``kind`` is trace-static."""
+    if kind == "binary2way":
+        return binary_both_way_loss(scan, scan_mask, templates, radius)
+    if kind == "binary1way":
+        return binary_one_way_loss(scan, scan_mask, templates, radius)
+    if kind == "chamfer":
+        return chamfer_loss(scan, scan_mask, templates)
+    if kind == "diffbin":
+        return sigmoid_binary_loss(scan, scan_mask, templates, steepness)
+    if kind == "med1way":
+        return median_one_way_loss(scan, scan_mask, templates)
+    if kind == "medboth":
+        return median_both_loss(scan, scan_mask, templates)
+    if kind == "trimmed":
+        return trimmed_loss(scan, scan_mask, templates, trim)
+    raise ValueError(f"unknown loss_function {kind!r} "
+                     "(loss.py:98-116 dispatch)")
 
 
 def sigmoid_binary_loss(scan, scan_mask, templates, steepness=10.0) -> jnp.ndarray:

@@ -70,7 +70,14 @@ def pipeline_config_from(cfg: Config) -> PipelineConfig:
             # fine theta pass: hardcoded 360 in the reference
             # (optimizer.py:103); exposed here for small-grid test runs
             n_theta_fine=int(opt.get("opt_fine_iters", 360)),
-            radius=float(lf.get("binary_loss_threshold", 0.2))),
+            radius=float(lf.get("binary_loss_threshold", 0.2)),
+            # loss_functions.loss_function dispatch (loss.py:98-116)
+            loss_function=str(lf.get("loss_function", "binary2way")),
+            sigmoid_steepness=float(lf.get("sigmoid_steepness", 10.0)),
+            # the yaml ships trim_threshold; compute_loss reads the
+            # misspelled trim_treshold — honor either spelling
+            trim_threshold=float(lf.get("trim_treshold",
+                                        lf.get("trim_threshold", 0.3)))),
         max_cars=int(opt.get("max_cars_per_frame", 32)),
         max_points=int(filt.get("max_points_per_car", 2048)),
         skip_non_visible=bool(opt.get("skip_non_visible_cars", True)),

@@ -58,6 +58,24 @@ class FitConfig:
     # The standing-car theta itself always comes from the exact 360-step
     # fine pass.  Set >= n_theta//2 for the full theta set.
     rescore_theta_window: int = 2
+    # loss_functions.loss_function dispatch (loss.py:98-116): binary2way
+    # (default, conv/MXU path) or binary1way / chamfer / diffbin / med1way /
+    # medboth / trimmed — the non-default kinds run an EXACT chunked grid
+    # sweep instead of the membership-field conv coarse (which approximates
+    # binary2way only)
+    loss_function: str = "binary2way"
+    sigmoid_steepness: float = 10.0   # loss_functions.sigmoid_steepness
+    # loss_functions yaml ships trim_threshold: 0.3 but compute_loss reads
+    # the MISSPELLED trim_treshold key (loss.py:100), which is absent ->
+    # None -> the shipped 'trimmed' branch crashes; we honor the yaml value
+    trim_threshold: float = 0.3
+    # pose-chunk size for the exact full-grid sweep of non-default losses
+    exact_grid_chunk: int = 16
+
+    def loss_kwargs(self) -> dict:
+        return dict(kind=self.loss_function, radius=self.radius,
+                    steepness=self.sigmoid_steepness,
+                    trim=self.trim_threshold)
 
 
 class FitResult(NamedTuple):
@@ -101,11 +119,14 @@ def _fine_thetas(cfg: FitConfig):
 def exact_theta_losses(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
                        template: jnp.ndarray, trans: jnp.ndarray,
                        thetas: jnp.ndarray, radius: float,
-                       chunk: int = 24) -> jnp.ndarray:
-    """Exact binary2way TFL for all thetas at one fixed translation.
+                       chunk: int = 24, loss_kwargs: dict = None
+                       ) -> jnp.ndarray:
+    """Exact TFL (default binary2way; any loss.py:98-116 kind via
+    ``loss_kwargs``) for all thetas at one fixed translation.
 
     Chunked over theta so the (chunk*T, S) distance matrix stays VMEM-sized.
     """
+    kw = loss_kwargs or dict(kind="binary2way", radius=radius)
     n = thetas.shape[0]
     pad = (-n) % chunk
     th = jnp.concatenate([thetas, jnp.zeros(pad, thetas.dtype)])
@@ -114,10 +135,37 @@ def exact_theta_losses(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
     def per_chunk(th_c):
         rot = rot_y(th_c)                                   # (chunk, 3, 3)
         posed = jnp.einsum("tj,cij->cti", template, rot) + trans
-        return tfl.binary_both_way_loss(scan_local, scan_mask, posed, radius)
+        return tfl.tfl_loss(scan_local, scan_mask, posed, **kw)
 
     losses = jax.lax.map(per_chunk, th).reshape(-1)
     return losses[:n]
+
+
+def exact_grid_losses(scan_local, scan_mask, template, trans, thetas,
+                      cfg: "FitConfig") -> jnp.ndarray:
+    """EXACT loss over the full (theta x translation) pose grid, chunked —
+    the coarse pass for non-binary2way loss kinds (the reference evaluates
+    its selected loss at every grid pose, optimizer.py:67-84; the conv
+    membership fields approximate only binary2way).  Returns (nt, G)."""
+    nt, g = thetas.shape[0], trans.shape[0]
+    th_rep = jnp.repeat(thetas, g)
+    tr_rep = jnp.tile(trans, (nt, 1))
+    n = nt * g
+    chunk = cfg.exact_grid_chunk
+    pad = (-n) % chunk
+    th_rep = jnp.concatenate([th_rep, jnp.zeros(pad, th_rep.dtype)])
+    tr_rep = jnp.concatenate([tr_rep, jnp.zeros((pad, 3), tr_rep.dtype)])
+    kw = cfg.loss_kwargs()
+
+    def per_chunk(args):
+        th_c, tr_c = args
+        rot = rot_y(th_c)
+        posed = jnp.einsum("tj,cij->cti", template, rot) + tr_c[:, None]
+        return tfl.tfl_loss(scan_local, scan_mask, posed, **kw)
+
+    losses = jax.lax.map(per_chunk, (th_rep.reshape(-1, chunk),
+                                     tr_rep.reshape(-1, chunk, 3)))
+    return losses.reshape(-1)[:n].reshape(nt, g)
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -375,6 +423,35 @@ def _fit_one_conv(scan_local, scan_mask, moving, theta_est, theta_valid,
     shift = jnp.where(moving, cfg.moving_dz_shift, 0.0)
     local_eff = scan_local - jnp.stack(
         [jnp.float32(0.0), jnp.float32(0.0), shift])
+
+    if cfg.loss_function != "binary2way":
+        # non-default loss kinds (loss.py:98-116): exact sweep over the
+        # reference's continuous linspace grid — the conv membership
+        # fields approximate binary2way only, and the reference evaluates
+        # its selected loss at every grid pose (optimizer.py:67-84)
+        thetas_c, trans_ref = _pose_grids(cfg)
+        losses = exact_grid_losses(local_eff, scan_mask, template,
+                                   trans_ref, thetas_c, cfg)
+        nt = losses.shape[0]
+        fixed = moving & theta_valid
+        row = jnp.round(theta_est / (2 * jnp.pi / nt)).astype(jnp.int32) % nt
+        row_mask = (jnp.arange(nt) == row) | ~fixed
+        masked = jnp.where(row_mask[:, None], losses, jnp.inf)
+        th_set = jnp.where(fixed, jnp.broadcast_to(theta_est, thetas_c.shape),
+                           thetas_c)
+        flat = masked.reshape(-1)
+        best = jnp.argmin(flat)
+        t_best = trans_ref[best % trans_ref.shape[0]]
+        th_best = th_set[best // trans_ref.shape[0]]
+        loss_best = flat[best]
+        fine = exact_theta_losses(local_eff, scan_mask, template, t_best,
+                                  _fine_thetas(cfg), cfg.radius,
+                                  cfg.fine_chunk, cfg.loss_kwargs())
+        theta = jnp.where(moving, th_best,
+                          _plateau_theta(_fine_thetas(cfg), fine))
+        loss = jnp.where(moving, loss_best, jnp.min(fine))
+        return t_best[0], t_best[2] + shift, theta, loss
+
     trans = jnp.asarray(tfl.conv_translations(spec))
     losses = tfl.grid_pose_losses_conv(local_eff, scan_mask, occ_k, memb_k,
                                        spec, template.shape[0])
