@@ -83,6 +83,7 @@ def pipeline_config_from(cfg: Config) -> PipelineConfig:
         skip_non_visible=bool(opt.get("skip_non_visible_cars", True)),
         use_pseudo_lidar=bool(fc.get("use_pseudo_lidar", True)),
         use_clever_aggregation=bool(fc.get("use_clever_aggregation", True)),
+        use_robust_optimization=bool(opt.get("robust_optimization", False)),
     )
 
 

@@ -219,6 +219,56 @@ def fit_moving_car(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
                      loss=flat[best])
 
 
+@partial(jax.jit, static_argnames=("cfg",))
+def fit_loc_only(scan_local: jnp.ndarray, scan_mask: jnp.ndarray,
+                 template: jnp.ndarray, theta_est: jnp.ndarray,
+                 cfg: FitConfig = FitConfig()) -> FitResult:
+    """Translation-only grid at a fixed estimated yaw (optimize_loc_only,
+    optimizer.py:114-155): (dx, dz) linspace grid x theta in
+    {theta_est, theta_est + pi}, template at its default size, scored with
+    the configured loss kind."""
+    thetas = jnp.stack([theta_est, theta_est + jnp.pi])
+    _, trans = _pose_grids(cfg)
+    losses = exact_grid_losses(scan_local, scan_mask, template, trans,
+                               thetas, cfg)
+    flat = losses.reshape(-1)
+    best = jnp.argmin(flat)
+    t = trans[best % trans.shape[0]]
+    th = thetas[best // trans.shape[0]]
+    return FitResult(x=t[0], y=jnp.float32(0.0), z=t[2], theta=th,
+                     loss=flat[best])
+
+
+@partial(jax.jit, static_argnames=("cfg", "spec"))
+def fit_cars_robust(batch: CarBatch, template: jnp.ndarray,
+                    occ_k: jnp.ndarray, memb_k: jnp.ndarray, spec,
+                    cfg: FitConfig, theta_robust: jnp.ndarray,
+                    robust_valid: jnp.ndarray) -> "BatchFitResult":
+    """The robust_optimization branch (optimize_car_robust,
+    optimizer.py:27-44): standing cars with a valid dims-estimator yaw run
+    the translation-only grid at that yaw; NaN estimates fall back to the
+    standard coarse+fine; moving cars keep optimize_moving.  (The
+    estimator's dims themselves are clamped to template dims by the
+    reference's ``or True``, dimension_estimator.py:115 — only the yaw and
+    location survive.)"""
+    base = fit_cars_conv(batch, template, occ_k, memb_k, spec, cfg)
+
+    def one(points, mask, th):
+        center = masked_median(points, mask)
+        return fit_loc_only(points - center, mask, template, th, cfg), center
+
+    loc, centers = jax.vmap(one)(batch.points, batch.mask, theta_robust)
+    use = robust_valid & ~batch.moving & batch.car_valid
+    pick = lambda a, b: jnp.where(use, a, b)
+    return BatchFitResult(
+        x=pick(centers[:, 0] + loc.x, base.x),
+        y=pick(centers[:, 1], base.y),
+        z=pick(centers[:, 2] + loc.z, base.z),
+        theta=pick(loc.theta, base.theta),
+        loss=pick(loc.loss, base.loss),
+        center=jnp.where(use[:, None], centers, base.center))
+
+
 def estimate_angle_from_track(locations: np.ndarray, valid: np.ndarray,
                               ref_idx: int, min_dist: float = 3.0,
                               kitti_convention: bool = True) -> Optional[float]:

@@ -81,6 +81,10 @@ class PipelineConfig:
     scale_bbox_scale: float = 1.5       # scale_detector.bbox_scale
     use_dimensions_estimation: bool = False
     # optimization.use_dimensions_estimation_during_optim
+    # optimization.robust_optimization (config.yaml:68, default False):
+    # dims-estimator yaw first, then translation-only grid
+    # (optimize_car_robust / optimize_loc_only, optimizer.py:27-44,114-155)
+    use_robust_optimization: bool = False
     # persist fitted cars for use_add_data detector training (the
     # reference's optimized_cars/ blobs, main_class.py:780-816)
     cars_cache_dir: Optional[str] = None
@@ -235,6 +239,33 @@ class PseudoLabeler:
             center, theta = precomputed
             center = np.asarray(center)[:n].copy()
             theta = np.asarray(theta)[:n].copy()
+        elif cfg.use_robust_optimization:
+            # optimize_car_robust (optimizer.py:27-44): dims-estimator yaw
+            # first, then a translation-only grid; NaN estimates fall back
+            # to the standard coarse+fine inside fit_cars_robust
+            from monosowa_tpu.sowa import dimensions as dims_mod
+            from monosowa_tpu.sowa.fitting import fit_cars_robust
+            th_rob = np.zeros(cfg.max_cars, np.float32)
+            rob_valid = np.zeros(cfg.max_cars, bool)
+            for i in range(n):
+                if kept[i].moving:
+                    continue
+                pts_i = np.asarray(batch.points[i])
+                mask_i = np.asarray(batch.mask[i])
+                c = np.median(pts_i[mask_i], axis=0) if mask_i.any() else \
+                    np.zeros(3)
+                _, th = dims_mod.estimate_car_dimensions(
+                    (pts_i - c)[None], mask_i[None], c)
+                if np.isfinite(th):
+                    th_rob[i] = th
+                    rob_valid[i] = True
+            res = fit_cars_robust(batch, self.template, self.occ_kernels,
+                                  self.memb_kernels, self.conv_spec,
+                                  cfg.fit, jnp.asarray(th_rob),
+                                  jnp.asarray(rob_valid))
+            center = np.stack([np.asarray(res.x)[:n], np.asarray(res.y)[:n],
+                               np.asarray(res.z)[:n]], 1)
+            theta = np.asarray(res.theta)[:n].copy()
         else:
             res = fit_cars_conv(batch, self.template, self.occ_kernels,
                                 self.memb_kernels, self.conv_spec, cfg.fit)
