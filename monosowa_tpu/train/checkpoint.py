@@ -76,6 +76,23 @@ def latest_checkpoint(ckpt_dir: str, tag: str = "checkpoint"
     return best
 
 
+def list_checkpoints(ckpt_dir: str, tag: str = "checkpoint"):
+    """All <tag>_epoch_<n> checkpoints sorted by epoch — the tester's
+    'all' sweep enumeration (tester_helper.py:62-68: every epoch
+    checkpoint, ordered by its epoch suffix)."""
+    if not os.path.isdir(ckpt_dir):
+        return []
+    out = []
+    for name in os.listdir(ckpt_dir):
+        if name.startswith(f"{tag}_epoch_") and not name.endswith(".meta"):
+            try:
+                e = int(name.rsplit("_", 1)[1])
+            except ValueError:
+                continue
+            out.append((e, os.path.join(ckpt_dir, name)))
+    return [p for _, p in sorted(out)]
+
+
 def _epoch_from_path(path: str) -> int:
     try:
         return int(os.path.basename(path.rstrip("/")).rsplit("_", 1)[1])

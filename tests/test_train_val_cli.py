@@ -103,3 +103,42 @@ def test_train_val_evaluate_only(kitti_root, tmp_path, capsys):
     cfg_path = tmp_path / "cfg_eval.yaml"
     cfg_path.write_text(yaml.safe_dump(cfg))
     train_val.main(["--config", str(cfg_path), "--evaluate_only"])
+
+
+def test_tester_all_checkpoints_sweep(kitti_root, tmp_path, capsys):
+    """tester.mode 'all' (tester_helper.py:28-78): the best checkpoint is
+    evaluated first, then every epoch checkpoint in epoch order."""
+    from tools import train_val
+
+    cfg = {
+        "dataset": {
+            "type": "KITTI", "root_dir": str(kitti_root),
+            "train_split": "train", "test_split": "val",
+            "batch_size": 2, "resolution": [IMG_W, IMG_H],
+            "max_objs": 8, "random_flip": 0.0, "aug_crop": False,
+        },
+        "model": {
+            "num_classes": 3, "enc_layers": 1, "dec_layers": 2,
+            "hidden_dim": 64, "dim_feedforward": 64, "nheads": 4,
+            "num_queries": 10, "num_depth_bins": 16,
+        },
+        "optimizer": {"lr": 2e-4},
+        "lr_scheduler": {},
+        "trainer": {"max_epoch": 2, "save_frequency": 1,
+                    "save_path": str(tmp_path / "out_sweep")},
+        "tester": {"threshold": 0.2, "topk": 10, "mode": "all"},
+    }
+    cfg_path = tmp_path / "cfg_sweep.yaml"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    train_val.main(["--config", str(cfg_path)])
+
+    capsys.readouterr()
+    train_val.main(["--config", str(cfg_path), "--evaluate_only"])
+    out = capsys.readouterr().out
+    evals = [ln for ln in out.splitlines() if ln.startswith("== evaluating")]
+    # best first (if tracked), then checkpoint_epoch_1, checkpoint_epoch_2
+    assert len(evals) >= 2
+    assert "checkpoint_epoch_1" in evals[-2]
+    assert "checkpoint_epoch_2" in evals[-1]
+    if len(evals) == 3:
+        assert "best" in evals[0]

@@ -144,7 +144,21 @@ def main(argv=None):
         print(f"resumed from {resume} (epoch {start_epoch})")
 
     if args.evaluate_only:
-        evaluate(model, state, val_ds, cfg)
+        # tester.mode 'all' (tester_helper.py:28-78): evaluate the best
+        # checkpoint first when present, then EVERY epoch checkpoint in
+        # epoch order; 'single' evaluates the resumed/--ckpt state only
+        mode = str(cfg.get("tester", {}).get("mode", "single"))
+        if mode == "all" and not args.ckpt:
+            best = ckpt.latest_checkpoint(save_path, tag="best")
+            sweep = ([best] if best else []) + \
+                ckpt.list_checkpoints(save_path)
+            for path in sweep:
+                state, ep = ckpt.restore_checkpoint(path, state)
+                print(f"== evaluating {os.path.basename(path)} "
+                      f"(epoch {ep}) ==")
+                evaluate(model, state, val_ds, cfg)
+        else:
+            evaluate(model, state, val_ds, cfg)
         return
 
     # data-parallel mesh over the largest device count dividing the batch
