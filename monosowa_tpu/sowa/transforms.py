@@ -231,3 +231,124 @@ def icp_window_transforms(get_scan, ref: int, rng: int,
         if fr in rel:
             out[k] = rel[fr]
     return out
+
+
+def icp_window_transforms_v2(get_scan, ref: int, rng: int, n_frames: int,
+                             jump: int = 5, get_prior=None,
+                             max_points: int = 4096,
+                             seed: int = 0) -> np.ndarray:
+    """Reference-faithful ICP window (calculate_transformationsV2,
+    loader.py:1016-1301) with the full fallback cascade:
+
+    1. ANCHORS (multiples of ``jump`` from the reference frame): each is
+       pairwise-aligned to its toward-zero partner at distance jump*k,
+       escalating k = 1..5 until both scans exist (:1054-1135); the
+       escalation STOPS at the first k whose partner would overshoot past
+       the reference frame (the reference ``continue``s there).  The ICP
+       refines an odometry prior (``get_prior(cur, ref) -> 4x4
+       T_cur_to_ref``, identity when absent) and tmp[i] = icp @ prior.
+    2. Anchor chains compose toward frame 0 stepping by ``jump``, missing
+       links contributing identity (:1206-1230).
+    3. NON-anchOR frames run their OWN prior+ICP against the nearest
+       VALID anchor toward zero (multiples of jump, then jump*2, jump*3
+       when the anchor chain came out identity, :1234-1247), composed with
+       that anchor's absolute transform (:1295).
+
+    Frames whose scans are missing keep IDENTITY (the reference
+    initializes both arrays to eye, :1027-1031) — unlike the zero
+    matrices of the pose-file paths.  ``icp_window_transforms`` remains
+    the cheap redesigned variant (interpolated intermediates)."""
+    import jax.numpy as jnp
+
+    from monosowa_tpu.ops.icp import icp_point_to_plane
+
+    rng_np = np.random.default_rng(seed)
+    scan_cache: Dict[int, object] = {}
+
+    def prep(f):
+        """Subsampled padded scan for frame OFFSET f, or None."""
+        if f in scan_cache:
+            return scan_cache[f]
+        fr = ref + f
+        out = None
+        if 0 <= fr < n_frames:
+            pts = get_scan(fr)
+            if pts is not None and len(pts) >= 50:
+                pts = np.asarray(pts, np.float32)[:, :3]
+                if len(pts) > max_points:
+                    pts = pts[rng_np.choice(len(pts), max_points,
+                                            replace=False)]
+                pad = np.zeros((max_points, 3), np.float32)
+                pad[:len(pts)] = pts
+                m = np.zeros(max_points, bool)
+                m[:len(pts)] = True
+                out = (jnp.asarray(pad), jnp.asarray(m))
+        scan_cache[f] = out
+        return out
+
+    prior = get_prior or (lambda cur, anchor: np.eye(4))
+
+    def icp_pair(i, partner):
+        """T_i_to_partner = icp @ prior, or None when a scan is absent."""
+        a = prep(i)
+        b = prep(partner)
+        if a is None or b is None:
+            return None
+        p = np.asarray(prior(ref + i, ref + partner), np.float64)
+        moved = np.asarray(a[0]) @ p[:3, :3].T + p[:3, 3]
+        t_icp, _ = icp_point_to_plane(jnp.asarray(moved, jnp.float32),
+                                      a[1], b[0], b[1])
+        return np.asarray(t_icp, np.float64) @ p
+
+    n_win = 2 * rng + 1
+    tmp = np.tile(np.eye(4), (n_win, 1, 1))
+    out = np.tile(np.eye(4), (n_win, 1, 1))
+
+    # phase 1: anchors with the x2..x5 escalation
+    for i in range(-rng, rng + 1, jump):
+        if i == 0:
+            continue
+        for k in range(1, 6):
+            partner = i + jump * k if i < 0 else i - jump * k
+            if (i < 0 and partner > 0) or (i >= 0 and partner < 0):
+                break                    # overshoot: reference continues
+            t = icp_pair(i, partner)
+            if t is not None:
+                tmp[i + rng] = t
+                break
+
+    # phase 2: compose anchor chains toward the reference frame
+    for i in range(-rng, 0, jump):
+        if prep(i) is None:
+            continue
+        t = np.eye(4)
+        for z in range(i, 0, jump):
+            t = tmp[z + rng] @ t
+        out[i + rng] = t
+    for i in range(rng - rng % jump, 0, -jump):
+        if prep(i) is None:
+            continue
+        t = np.eye(4)
+        for z in range(i, 0, -jump):
+            t = tmp[z + rng] @ t
+        out[i + rng] = t
+
+    # phase 3: per-frame ICP against the nearest valid anchor toward zero
+    for i in range(-rng, rng + 1):
+        if i % jump == 0:
+            continue
+        for mult in (1, 2, 3):
+            step = jump * mult
+            ref_index = int(np.rint(np.ceil(i / step) * step)) if i < 0 \
+                else int(np.rint(np.floor(i / step) * step))
+            if ref_index == 0 or not np.array_equal(out[ref_index + rng],
+                                                    np.eye(4)):
+                break
+        if abs(ref_index) > rng:
+            continue
+        t = icp_pair(i, ref_index)
+        if t is None:
+            continue
+        out[i + rng] = out[ref_index + rng] @ t
+    out[rng] = np.eye(4)
+    return out

@@ -67,3 +67,57 @@ def test_icp_window_transforms_recovers_motion():
     assert out[2][2, 3] == pytest.approx(-0.8, abs=0.1)
     # interpolated odd frame
     assert out[5][2, 3] == pytest.approx(0.4, abs=0.1)
+
+
+def test_icp_v2_recovers_motion_per_frame():
+    """calculate_transformationsV2: every non-anchor frame gets its OWN
+    prior+ICP against the nearest anchor (loader.py:1234-1301), no
+    interpolation."""
+    rng = np.random.default_rng(1)
+    plane = np.stack([rng.uniform(-5, 5, 400), np.full(400, 1.6),
+                      rng.uniform(2, 20, 400)], 1)
+    wall = np.stack([rng.uniform(-5, 5, 200), rng.uniform(0, 1.5, 200),
+                     np.full(200, 20.0)], 1)
+    wall2 = np.stack([np.full(200, 5.0), rng.uniform(0, 1.5, 200),
+                      rng.uniform(2, 20, 200)], 1)
+    world = np.concatenate([plane, wall, wall2]).astype(np.float32)
+
+    def get_scan(f):
+        return world - np.array([0.0, 0.0, 0.4 * f], np.float32)
+
+    out = T.icp_window_transforms_v2(get_scan, ref=5, rng=4, n_frames=11,
+                                     jump=2)
+    assert out.shape == (9, 4, 4)
+    np.testing.assert_allclose(out[4], np.eye(4), atol=1e-9)
+    # out index k holds frame k+1 (window 1..9 around ref=5)
+    for k, exp in [(5, 0.4), (6, 0.8), (7, 1.2), (2, -0.8), (1, -1.2)]:
+        assert out[k][2, 3] == pytest.approx(exp, abs=0.1), k
+
+
+def test_icp_v2_escalates_over_missing_anchor():
+    """A missing anchor partner escalates the pairwise chain to x2..x5
+    jumps (loader.py:1054-1135) instead of breaking the chain."""
+    rng = np.random.default_rng(2)
+    plane = np.stack([rng.uniform(-5, 5, 400), np.full(400, 1.6),
+                      rng.uniform(2, 20, 400)], 1)
+    wall = np.stack([rng.uniform(-5, 5, 200), rng.uniform(0, 1.5, 200),
+                     np.full(200, 20.0)], 1)
+    wall2 = np.stack([np.full(200, 5.0), rng.uniform(0, 1.5, 200),
+                      rng.uniform(2, 20, 200)], 1)
+    world = np.concatenate([plane, wall, wall2]).astype(np.float32)
+
+    missing = {3}     # the -2 anchor's x1 partner (ref - jump)
+
+    def get_scan(f):
+        if f in missing:
+            return None
+        return world - np.array([0.0, 0.0, 0.4 * f], np.float32)
+
+    out = T.icp_window_transforms_v2(get_scan, ref=5, rng=4, n_frames=11,
+                                     jump=2)
+    # frame 1 = out[0] (offset -4): its x1 partner (offset -2 = frame 3)
+    # is missing, so the pair escalates to the x2 partner (offset 0) and
+    # the motion is still recovered
+    assert out[0][2, 3] == pytest.approx(-1.6, abs=0.15)
+    # the missing frame itself keeps identity (reference init, :1027-1031)
+    np.testing.assert_allclose(out[2], np.eye(4), atol=1e-12)
