@@ -244,7 +244,12 @@ def _run_child(name: str, deadline: float, reserve_later: float,
         except subprocess.TimeoutExpired:
             print(f"# bench {name} attempt {attempt}: timeout "
                   f"({timeout_s:.0f}s)", file=sys.stderr, flush=True)
-            continue
+            # a timeout here means the child was killed mid-compile; a
+            # killed compile writes NOTHING to the persistent cache, so a
+            # shorter retry cannot succeed — move on and leave the budget
+            # to the remaining metrics.  (Retries exist for the tunnel's
+            # transient INVALID_ARGUMENT crashes, which return rc!=0.)
+            break
         sys.stderr.write(out.stderr)
         line = [l for l in out.stdout.splitlines()
                 if l.startswith("{")]
@@ -291,8 +296,16 @@ def main():
     # floor reserved per not-yet-run metric so a slow cold compile on one
     # metric cannot starve the ones after it (each needs ~60-120 s warm)
     reserve = 150.0
+    failed = []
     for i, name in enumerate(names):
-        _run_child(name, deadline, reserve * (len(names) - i - 1))
+        if not _run_child(name, deadline, reserve * (len(names) - i - 1)):
+            failed.append(name)
+    # second pass over failures with whatever budget remains: a first-pass
+    # timeout often SEEDS the remote compile service's own cache, so a
+    # later attempt compiles much faster (observed 600s -> 211s)
+    for name in failed:
+        if deadline - time.perf_counter() > 60:
+            _run_child(name, deadline, 0.0, attempts=1)
     print(f"# bench total: {time.perf_counter() - t_start:.0f}s "
           f"of {budget:.0f}s budget", file=sys.stderr, flush=True)
 

@@ -486,7 +486,10 @@ def _mxu_tuning() -> dict:
 
     MSDA_MXU_SKIP: "none" (dense sweep), "dynamic" (data-dependent chunk
     loop: 65.5/62.9 ms — loses static scheduling), "cond" (legacy
-    predicated variant, measured useless), "winK".
+    predicated variant, measured useless), "winK", "gatherK" (true
+    dynamic_gather row fetch; blocked on current Mosaic — sublane
+    gathers are single-vreg only — so it only runs in interpret mode;
+    see ops/msda_mxu.py header for the full analysis).
     MSDA_MXU_BLOCK_T: chunk length of the token sweep; smaller chunks
     skip at finer grain but pay more loop/one-hot-build overhead.
     """

@@ -20,6 +20,32 @@ Layout notes (pallas_guide.md):
   tile; the one-hot tile (BQ, T_chunk) is bf16 (16, 128)-tileable.
 * the T axis is cut into ``block_t`` chunks so the one-hot tile stays
   ~1 MB; the dot accumulates over chunks.
+
+Why the one-hot window (win2) is the shipped floor, and not a true
+sparse gather (measured, 2026-08-20, v5e via axon):
+
+* ``tpu.dynamic_gather`` (the only per-element gather Mosaic lowers,
+  via ``jnp.take_along_axis`` on 2D) refuses any operand whose gather
+  dimension spans more than ONE vreg: "Not implemented: Multiple
+  source vregs along gather dimension".  Sublane-gathering a
+  (block_q=256, 4D) row window therefore cannot lower (8 f32 sublanes
+  per vreg); only 8-row windows would, which is useless.  The
+  "gatherK" mode below implements the design anyway — exact, parity-
+  tested in interpret mode — so it can be A/B'd the day Mosaic lifts
+  the restriction.
+* the lane-gather workaround (transpose the window so tokens ride the
+  128-lane axis, gather per 128-query tile) is legal but VPU-bound:
+  ~16 vreg-gathers + selects per (sample, window, query-tile) puts it
+  within ~2x of the win2 MXU time at best, for a large Mosaic-edge-case
+  risk surface.
+* reformulating the fetch as one combined coefficient matrix per level
+  (W[q,t] = sum_{p,slot} coef * [t == idx]) cuts the MXU MACs 16x but
+  *quadruples* the VPU compare/mul work that builds the sparse operand
+  — and at win2 the one-hot build is already ~20% of the kernel, so
+  the VPU becomes the new wall at roughly the same wall-clock.  The
+  one-hot *build* (one compare+cast per swept (q, t) cell on the VPU),
+  not the MXU dot it feeds, is the actual floor of every
+  sparse-emulation scheme on this generation.
 """
 
 from __future__ import annotations
@@ -60,7 +86,48 @@ def _onehot_rows_swept(ii, quadv_ref, t0: int, tl: int, block_t: int,
       dynamic loop for spans wider than the window (usually zero trips).
       The base is clamped so the K window chunks are distinct and
       in-span; chunks below the span contribute exact zeros.
+    * "gatherK" (e.g. "gather4") — the winK coverage scheme, but each
+      window chunk is fetched with a TRUE sublane gather
+      (``tpu.dynamic_gather`` via ``jnp.take_along_axis`` on a
+      (block_t, 4D) VMEM window) instead of a one-hot MXU dot: O(BQ*4D)
+      VPU work per window vs O(BQ*block_t*4D) MACs — this is the row
+      fetch below the one-hot FLOP floor.  Requires block_t == BQ (the
+      dynamic_gather lowering constrains operand/index/output to one
+      shape).  Residual spans fall back to the one-hot chunk dot, so
+      every index is still covered exactly once.
     """
+    if isinstance(skip_chunks, str) and skip_chunks.startswith("gather"):
+        k_win = int(skip_chunks[6:] or 4)
+        if block_t != bq:
+            raise ValueError("gather mode needs block_t == block_q "
+                             f"(got {block_t} != {bq})")
+        n_chunks = -(-tl // block_t)
+        lo = jnp.min(jnp.where(ii < 0, jnp.int32(2 ** 30), ii))
+        hi = jnp.max(ii)
+        base = jnp.clip((lo - t0) // block_t, 0,
+                        max(n_chunks - k_win, 0))
+        rows = jnp.zeros((bq, d4), jnp.float32)
+        for k in range(min(k_win, n_chunks)):
+            w0 = t0 + (base + k) * block_t
+            win = quadv_ref[pl.dslice(w0, block_t), :].astype(jnp.float32)
+            il = ii - w0
+            inwin = (il >= 0) & (il < block_t)
+            ilc = jnp.clip(il, 0, block_t - 1)
+            g = jnp.take_along_axis(
+                win, jnp.broadcast_to(ilc[:, None], (bq, d4)), axis=0)
+            rows = rows + jnp.where(inwin[:, None], g, 0.0)
+        if k_win < n_chunks:
+            def chunk_dot(c, r):
+                c0 = t0 + c * block_t
+                iota = c0 + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, block_t), 1)
+                oh = (ii[:, None] == iota).astype(jnp.bfloat16)
+                return r + jnp.dot(oh, quadv_ref[pl.dslice(c0, block_t), :],
+                                   preferred_element_type=jnp.float32)
+            c_hi = (hi - t0) // block_t
+            rows = jax.lax.fori_loop(base + k_win, c_hi + 1, chunk_dot,
+                                     rows)
+        return rows
     if isinstance(skip_chunks, str) and skip_chunks.startswith("win"):
         k_win = int(skip_chunks[3:] or 2)
         n_chunks = -(-tl // block_t)
@@ -398,6 +465,10 @@ def _dvalue_kernel(idx_ref, coef_ref, do_ref, out_ref, *,
     the caller folds the 4 slots back to tokens by the inverse shifts.
     """
     bq, d4 = idx_ref.shape[0], 4 * d_head
+    if isinstance(skip_chunks, str) and skip_chunks.startswith("gather"):
+        # scatter-add has no dynamic_gather analogue; the winK coverage
+        # scheme with the same K/block_t is the matching exact sweep
+        skip_chunks = "win" + (skip_chunks[6:] or "4")
 
     @pl.when(pl.program_id(2) == 0)
     def _zero():

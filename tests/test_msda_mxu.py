@@ -12,7 +12,8 @@ SHAPES = ((12, 20), (6, 10), (3, 5))
 
 @pytest.mark.parametrize("q,skip", [(37, False), (256, False), (256, True),
                                     (37, "dynamic"), (256, "dynamic"),
-                                    (37, "win2"), (256, "win2")])
+                                    (37, "win2"), (256, "win2"),
+                                    (37, "gather2"), (256, "gather4")])
 def test_mxu_fwd_matches_xla(q, skip):
     rng = np.random.default_rng(0)
     b, m, d, p = 2, 4, 8, 4
@@ -32,7 +33,7 @@ def test_mxu_fwd_matches_xla(q, skip):
                                atol=2e-2, rtol=2e-2)
 
 
-@pytest.mark.parametrize("skip", [False, "dynamic", "win2"])
+@pytest.mark.parametrize("skip", [False, "dynamic", "win2", "gather4"])
 def test_gdot_matches_einsum(skip):
     """msda_gdot_mxu vs the XLA quad-rows einsum it replaces."""
     import jax
@@ -67,7 +68,7 @@ def test_gdot_matches_einsum(skip):
 
 @pytest.mark.parametrize("q,skip", [(37, False), (37, "dynamic"),
                                     (256, "dynamic"), (37, "win2"),
-                                    (256, "win2")])
+                                    (256, "win2"), (256, "gather4")])
 def test_dvalue_matches_xla(q, skip):
     """msda_dvalue_mxu vs the XLA dense one-hot dValue scan."""
     from monosowa_tpu.ops.msda import _msda_dvalue
