@@ -1,0 +1,174 @@
+"""Measure the REFERENCE optimizer's per-car cost by grid scaling.
+
+The full-grid measurement (tools/measure_ref_baseline.py, shipped
+40x40x40 = 64k poses) runs the reference's own python optimizer for
+60-120+ min per car on this image's single host core, which does not fit
+a round reliably.  This variant measures the SAME reference code
+(optimizer.py:53-112 semantics through tests/ref_pipeline_harness.py) at
+two reduced coarse grids and fits t(poses) = a*poses + b — the coarse
+sweep is a pure per-pose loop, so cost is affine in the pose count with
+b capturing the grid-independent tail (fine pass, downsample, knn build).
+The reported rate extrapolates to the shipped 64k grid:
+
+    t_64k = a*64000 + b
+
+Everything else matches measure_ref_baseline.py: the exact bench scene
+(tools/bench_pipeline.make_sequence, 375x1242 frames, ~460k-pt dense
+pseudo-LiDAR, 6 cars, 13-frame windows), the faiss-free matmul-exact
+range_search stand-in, the reference's candidate/tracking/aggregation
+path timed as-is (it is grid-independent).  NMS+reopt cost is measured
+at the small grid and NOT extrapolated, so the e2e frame time is a
+conservative UNDERESTIMATE of the reference's true cost (our
+vs_baseline ratios get smaller, never inflated).
+
+Prints one JSON line:
+  ref_fit_cars_per_s    1 / t_64k
+  ref_e2e_frames_per_s  1 / (t_candidates + 6*t_64k + t_nms_small)
+"""
+
+import json
+import os
+import sys
+import tempfile
+import time
+import types
+
+import numpy as np
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "tests"))
+sys.path.insert(0, HERE)
+
+GRIDS = ((10, 10, 10), (20, 20, 10))
+
+
+def stage_scene(pipe, scene):
+    import pickle
+
+    import zstd as zstd_mod
+    h, w = scene["img_hw"]
+    ref = scene["ref_frame"]
+    file_name = f"{ref:06d}"
+    window = (len(scene["transforms"]) - 1) // 2
+    for num, fr in scene["frames"].items():
+        np.savez(os.path.join(pipe.pseudo_lidar_folder,
+                              str(num).zfill(10) + ".npz"),
+                 array1=np.asarray(fr["points"], np.float32))
+    masks_window = []
+    for i in range(-window, window + 1):
+        fr = scene["frames"].get(ref + i)
+        masks_window.append(
+            [] if fr is None else
+            np.array([np.asarray(m, bool).T for m in fr["masks"]]))
+    blob = zstd_mod.compress(pickle.dumps(masks_window,
+                                          pickle.HIGHEST_PROTOCOL))
+    with open(os.path.join(pipe.cfg.paths.merged_frames_path, "masks_raw",
+                           file_name + ".zstd"), "wb") as f:
+        f.write(blob)
+    np.save(os.path.join(pipe.cfg.paths.merged_frames_path,
+                         "transformations", file_name + ".npy"),
+            np.asarray(scene["transforms"], np.float64))
+    p2 = np.asarray(scene["p2"], np.float64)
+    pipe.kitti_data = types.SimpleNamespace(
+        oxts=[None] * pipe.total_frames,
+        calib=types.SimpleNamespace(P_rect_00=p2))
+    pipe.file_number = ref
+    pipe.file_name = file_name
+    pipe.pic_index = ref
+    pipe.path_to_folder = os.path.join(pipe.pseudo_lidar_folder, "nothere/")
+    pipe.img = np.zeros((3, h, w), np.uint8)
+
+
+def main():
+    import bench_pipeline
+    import ref_pipeline_harness as harness
+
+    if not harness.reference_available():
+        print(json.dumps({"error": "reference not available"}))
+        return
+
+    window = 6
+    frames, _ = bench_pipeline.make_sequence(n_frames=1, window=window)
+    ref_idx = window
+    ref_z = frames[ref_idx]["ego_z"]
+    scene_frames = {}
+    transforms = []
+    for k in range(2 * window + 1):
+        fr = frames[k]
+        scene_frames[k] = {"points": fr["points"], "masks": fr["masks"]}
+        t = np.eye(4)
+        t[2, 3] = fr["ego_z"] - ref_z
+        transforms.append(t)
+    scene = dict(frames=scene_frames, ref_frame=ref_idx,
+                 transforms=np.stack(transforms), p2=bench_pipeline.P2,
+                 img_hw=(bench_pipeline.H, bench_pipeline.W))
+
+    from monosowa_tpu.sowa.templates import TemplateBank
+    template = TemplateBank.default().points[0]
+
+    times, poses, t_candidates, t_nms, n_cars = [], [], 0.0, 0.0, 0
+    for grid in GRIDS:
+        tmp = tempfile.mkdtemp()
+        pipe = harness.build_reference_pipeline(
+            tmp, window=window, grid=grid,
+            total_frames=2 * window + 2, template=template)
+        stage_scene(pipe, scene)
+
+        t0 = time.perf_counter()
+        pipe.load_and_prepare_lidar_scan_from_multiple_pykittiV2(
+            pipe.file_name, pipe.img, save=False)
+        t_candidates = time.perf_counter() - t0
+        n_cars = len(pipe.cars)
+
+        t0 = time.perf_counter()
+        ok = pipe.est_location_and_downsample(pipe.cars[0])
+        assert ok
+        pipe.cars[0] = pipe.optimize_car(pipe.cars[0])
+        dt = time.perf_counter() - t0
+        times.append(dt)
+        poses.append(int(np.prod(grid)))   # (n_dx, n_dz, n_theta) sweep
+        print(f"# grid {grid} ({poses[-1]} poses): car-0 fit {dt:.1f}s",
+              file=sys.stderr, flush=True)
+
+        if grid is GRIDS[0]:
+            t0 = time.perf_counter()
+            pipe.cars, to_be_reopt = pipe.non_maxima_surpression(pipe.cars)
+            if pipe.cfg.optimization.nms_merge_and_reopt:
+                for index in to_be_reopt:
+                    if not pipe.est_location_and_downsample(
+                            pipe.cars[index]):
+                        continue
+                    pipe.cars[index] = pipe.optimize_car(pipe.cars[index])
+            pipe.writetxt_cars(pipe.cars)
+            t_nms = time.perf_counter() - t0
+
+    a = (times[1] - times[0]) / (poses[1] - poses[0])
+    b = times[0] - a * poses[0]
+    t_64k = a * 40 * 40 * 40 + b
+    t_frame = t_candidates + n_cars * t_64k + t_nms
+    out = {
+        "ref_fit_cars_per_s": round(1.0 / max(t_64k, 1e-9), 5),
+        "ref_e2e_frames_per_s": round(1.0 / max(t_frame, 1e-9), 5),
+        "detail": {
+            "grids": [list(g) for g in GRIDS],
+            "poses": poses,
+            "t_fit_s": [round(t, 2) for t in times],
+            "fit_affine_a_s_per_pose": a,
+            "fit_affine_b_s": round(b, 3),
+            "t_64k_s_extrapolated": round(t_64k, 1),
+            "t_candidates_s": round(t_candidates, 2),
+            "t_nms_small_grid_s": round(t_nms, 2),
+            "cars": n_cars,
+            "t_frame_s": round(t_frame, 1),
+            "note": "nms/reopt timed at the small grid, not extrapolated "
+                    "-> e2e baseline is an underestimate of the "
+                    "reference's true cost (conservative for vs_baseline)",
+        },
+    }
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()
