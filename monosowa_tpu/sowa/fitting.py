@@ -480,11 +480,17 @@ def _fit_one_conv(scan_local, scan_mask, moving, theta_est, theta_valid,
         # fields approximate binary2way only, and the reference evaluates
         # its selected loss at every grid pose (optimizer.py:67-84)
         thetas_c, trans_ref = _pose_grids(cfg)
-        losses = exact_grid_losses(local_eff, scan_mask, template,
-                                   trans_ref, thetas_c, cfg)
-        nt = losses.shape[0]
+        nt = thetas_c.shape[0]
         fixed = moving & theta_valid
         row = jnp.round(theta_est / (2 * jnp.pi / nt)).astype(jnp.int32) % nt
+        # the reference's optimize_moving evaluates the loss exactly at
+        # estimated_angle (opt_param3_range=[estimated_angle]) — substitute
+        # theta_est into the selected row so the masked sweep scores the
+        # translation grid at the exact angle, not the nearest lattice theta
+        thetas_c = jnp.where((jnp.arange(nt) == row) & fixed,
+                             theta_est, thetas_c)
+        losses = exact_grid_losses(local_eff, scan_mask, template,
+                                   trans_ref, thetas_c, cfg)
         row_mask = (jnp.arange(nt) == row) | ~fixed
         masked = jnp.where(row_mask[:, None], losses, jnp.inf)
         th_set = jnp.where(fixed, jnp.broadcast_to(theta_est, thetas_c.shape),

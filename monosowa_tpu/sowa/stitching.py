@@ -123,8 +123,15 @@ def select_best_homography(per_frame_matches: List[Tuple[np.ndarray,
                                                          np.ndarray]],
                            threshold: float = 3.0,
                            iterations: int = 500) -> Optional[np.ndarray]:
-    """find_the_best_homo (:153-216): estimate H per frame, score each by
-    TOTAL inliers across every frame's matches, keep the best."""
+    """Per-sequence best homography: estimate H per frame, score each by
+    TOTAL inliers across every frame's matches, keep the best.
+
+    Deliberate deviation from find_the_best_homo (stitching.py:153-216):
+    the reference's outer frame loop never indexes the match set, so each
+    candidate is effectively scored only against its own frame's matches
+    (the same sum repeated N times).  Scoring against ALL frames is the
+    evidently intended behavior and is kept here — when parity-debugging
+    homography selection, compare against own-frame-only scoring."""
     candidates = []
     for i, (src, dst) in enumerate(per_frame_matches):
         h, _ = ransac_homography(src, dst, threshold, iterations, seed=i)

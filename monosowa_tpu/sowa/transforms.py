@@ -304,10 +304,14 @@ def icp_window_transforms_v2(get_scan, ref: int, rng: int, n_frames: int,
     tmp = np.tile(np.eye(4), (n_win, 1, 1))
     out = np.tile(np.eye(4), (n_win, 1, 1))
 
-    # phase 1: anchors with the x2..x5 escalation
-    for i in range(-rng, rng + 1, jump):
-        if i == 0:
-            continue
+    # phase 1: anchors with the x2..x5 escalation.  Anchors are the
+    # multiples of ``jump`` on both sides — the same set phases 2/3 walk
+    # (with rng % jump != 0 a -rng-based sweep would place positive
+    # anchors off the jump lattice and phases 2/3 would compose
+    # never-written identity entries)
+    anchors = (list(range(-jump * (rng // jump), 0, jump))
+               + list(range(jump, rng + 1, jump)))
+    for i in anchors:
         for k in range(1, 6):
             partner = i + jump * k if i < 0 else i - jump * k
             if (i < 0 and partner > 0) or (i >= 0 and partner < 0):
@@ -318,7 +322,7 @@ def icp_window_transforms_v2(get_scan, ref: int, rng: int, n_frames: int,
                 break
 
     # phase 2: compose anchor chains toward the reference frame
-    for i in range(-rng, 0, jump):
+    for i in range(-jump * (rng // jump), 0, jump):
         if prep(i) is None:
             continue
         t = np.eye(4)

@@ -14,8 +14,11 @@ Behavioral contract (reference, pseudo_label_generator/3d/scripts):
   vertically by height_pad/2 (config image_stitching.*: 100 / 750).
 * Per-sequence best homography per pair: every frame contributes a RANSAC
   candidate; each candidate is scored by total inliers over ALL frames'
-  matches and the best one is frozen for the sequence
-  (find_the_best_homo, stitching.py:153-216).
+  matches and the best one is frozen for the sequence.  (Deviation: the
+  reference's find_the_best_homo, stitching.py:153-216, effectively scores
+  each candidate only against its own frame's matches — its frame loop
+  never indexes the match set; all-frames scoring is the intended
+  behavior and is what this rebuild does.)
 * Mask tracking (tracker_ODTrack.py:60-198): detection masks on each pair
   canvas; every not-yet-matched mask seeds a single-object track that runs
   to the end of the sequence with camera-switch logic
@@ -115,9 +118,17 @@ def stitch_pair(img_a: np.ndarray, img_b: np.ndarray, homo: np.ndarray,
     h, w = layout.canvas_hw
     src = img_a if left_to_right else img_b
     fixed = img_b if left_to_right else img_a
-    canvas = cv2.warpPerspective(src, np.asarray(homo, np.float64), (w, h))
-    if canvas.ndim < src.ndim:        # cv2 drops trailing singleton channels
-        canvas = canvas[..., None]
+    if homo is None:
+        # a pair with <4 matches over the whole sequence has no homography
+        # (estimate_pair_homographies NaN sentinel) — the canvas then holds
+        # only the pasted fixed camera, mirroring the None guards in
+        # check_for_image_switch
+        canvas = np.zeros((h, w) + src.shape[2:], src.dtype)
+    else:
+        canvas = cv2.warpPerspective(
+            src, np.asarray(homo, np.float64), (w, h))
+        if canvas.ndim < src.ndim:    # cv2 drops trailing singleton channels
+            canvas = canvas[..., None]
     ys, xs = layout.paste_slice(left_to_right)
     canvas[ys, xs] = fixed
     return canvas
@@ -133,6 +144,8 @@ def unwarp_pair_mask(mask: np.ndarray, homo: np.ndarray, left_to_right: bool,
 
     ys, xs = layout.paste_slice(left_to_right)
     fixed_mask = np.asarray(mask, bool)[ys, xs]
+    if homo is None:
+        return np.zeros((layout.cam_h, layout.cam_w), bool), fixed_mask
     inv = np.linalg.inv(np.asarray(homo, np.float64))
     warped = cv2.warpPerspective(
         np.asarray(mask, np.float32), inv,
@@ -156,6 +169,26 @@ def pano_mask_to_camera(mask: np.ndarray, pair_idx: int,
     if warped_m.sum() > fixed_m.sum():
         return warped_m, warped_slot
     return fixed_m, fixed_slot
+
+
+def pano_mask_to_both_cameras(mask: np.ndarray, pair_idx: int,
+                              homos: Sequence[np.ndarray],
+                              layout: PairLayout
+                              ) -> List[Tuple[np.ndarray, int]]:
+    """Pair-canvas mask -> BOTH camera-frame masks [(mask, slot), ...]
+    (extract_lidar_features unions in-mask points from the two cameras of
+    the pair, filtering.py:164-280).  Side-camera masks are cropped to the
+    bottom side_h rows; empty masks are dropped."""
+    left_slot, right_slot, ltr = PAIRS[pair_idx]
+    warped_m, fixed_m = unwarp_pair_mask(mask, homos[pair_idx], ltr, layout)
+    warped_slot = left_slot if ltr else right_slot
+    fixed_slot = right_slot if ltr else left_slot
+    if warped_slot in (0, 4):
+        warped_m = warped_m[-layout.side_h:, :]
+    if fixed_slot in (0, 4):
+        fixed_m = fixed_m[-layout.side_h:, :]
+    return [(m, s) for m, s in
+            ((warped_m, warped_slot), (fixed_m, fixed_slot)) if m.any()]
 
 
 def estimate_pair_homographies(get_imgs, n_frames: int,
@@ -436,13 +469,20 @@ def tracks_from_2d(cars: Sequence[Sequence[Tuple[int, int, int]]],
             k = f - ref_frame
             if k < lo or k > hi:
                 continue
-            mask_cam, slot = pano_mask_to_camera(
+            # union in-mask points from BOTH cameras of the pair
+            # (extract_lidar_features, filtering.py:164-280) — the
+            # larger-mask camera decides only the ref-frame mask payload
+            both = pano_mask_to_both_cameras(
                 det_masks[f][z][mi], z, homos, layout)
-            if mask_cam is None:
+            if not both:
                 continue
-            pts_v = gather_mask_points(mask_cam, slot, fused_lidars[f])
+            pts_v = np.concatenate(
+                [gather_mask_points(m, s, fused_lidars[f])
+                 for m, s in both], axis=0)
             if len(pts_v) < min_points:
                 continue
+            mask_cam, slot = pano_mask_to_camera(
+                det_masks[f][z][mi], z, homos, layout)
             pts_c = pts_v @ VEHICLE_TO_CAM.T
             t = transforms_cam[k - lo]
             pts_r = pts_c @ t[:3, :3].T + t[:3, 3]

@@ -125,3 +125,38 @@ def test_fit_recovers_car_with_alternate_loss(kind):
     assert float(res.z[0]) == pytest.approx(true["z"], abs=0.4)
     dth = (float(res.theta[0]) - true["theta"] + np.pi) % (2 * np.pi) - np.pi
     assert min(abs(dth), abs(abs(dth) - np.pi)) < np.deg2rad(10)
+
+
+def test_moving_fixed_theta_scored_exactly_at_estimate():
+    """A moving car with a valid trajectory angle is scored at EXACTLY
+    theta_est in the non-binary2way path (optimize_moving evaluates the
+    loss at opt_param3_range=[estimated_angle]), not at the nearest
+    coarse lattice row — with nt=16 the lattice is 22.5 deg apart, so an
+    off-lattice angle would otherwise bias the translation pick."""
+    rng = np.random.default_rng(7)
+    bank = TemplateBank.default()
+    template = jnp.asarray(bank.points[0])
+    # theta exactly between two lattice rows of the nt=16 grid
+    theta = float(2 * np.pi / 16 * 3.5)
+    true = dict(x=0.4, z=1.2, theta=theta)
+    rot = np.asarray(rot_y(jnp.float32(theta)))
+    scan = bank.points[0] @ rot.T + [true["x"], 0.0, true["z"]]
+    scan = (scan + rng.normal(scale=0.02, size=scan.shape)).astype(np.float32)
+    mask = np.ones(len(scan), bool)
+
+    cfg = fitting.FitConfig(n_dx=12, n_dz=12, n_theta=16, n_theta_fine=90,
+                            fine_chunk=10, loss_function="chamfer",
+                            exact_grid_chunk=24, moving_dz_shift=0.0)
+    spec, occ_k, memb_k = fitting.make_conv_kernels(bank.points[0], cfg)
+    batch = fitting.CarBatch(
+        points=jnp.asarray(scan)[None], mask=jnp.asarray(mask)[None],
+        moving=jnp.ones(1, bool),
+        theta_est=jnp.full(1, theta, jnp.float32),
+        theta_valid=jnp.ones(1, bool), car_valid=jnp.ones(1, bool))
+    res = fitting.fit_cars_conv(batch, template, occ_k, memb_k, spec, cfg)
+    # reported theta is the exact estimate
+    assert float(res.theta[0]) == pytest.approx(theta, abs=1e-6)
+    # translation is recovered at the exact angle (the nearest-lattice
+    # scoring is ~11 deg off and biases the chamfer minimum)
+    assert float(res.x[0]) == pytest.approx(true["x"], abs=0.3)
+    assert float(res.z[0]) == pytest.approx(true["z"], abs=0.3)

@@ -121,3 +121,30 @@ def test_icp_v2_escalates_over_missing_anchor():
     assert out[0][2, 3] == pytest.approx(-1.6, abs=0.15)
     # the missing frame itself keeps identity (reference init, :1027-1031)
     np.testing.assert_allclose(out[2], np.eye(4), atol=1e-12)
+
+
+def test_icp_v2_rng_not_multiple_of_jump():
+    """rng % jump != 0: all three phases agree on the multiples-of-jump
+    anchor set, so positive-side frames still recover their motion (a
+    -rng-anchored sweep would leave the positive chain composing
+    never-written identity entries)."""
+    rng_np = np.random.default_rng(3)
+    plane = np.stack([rng_np.uniform(-5, 5, 400), np.full(400, 1.6),
+                      rng_np.uniform(2, 20, 400)], 1)
+    wall = np.stack([rng_np.uniform(-5, 5, 200), rng_np.uniform(0, 1.5, 200),
+                     np.full(200, 20.0)], 1)
+    wall2 = np.stack([np.full(200, 5.0), rng_np.uniform(0, 1.5, 200),
+                      rng_np.uniform(2, 20, 200)], 1)
+    world = np.concatenate([plane, wall, wall2]).astype(np.float32)
+
+    def get_scan(f):
+        return world - np.array([0.0, 0.0, 0.4 * f], np.float32)
+
+    out = T.icp_window_transforms_v2(get_scan, ref=5, rng=5, n_frames=11,
+                                     jump=2)
+    assert out.shape == (11, 4, 4)
+    np.testing.assert_allclose(out[5], np.eye(4), atol=1e-9)
+    # every offset in the window, including the off-lattice extremes +-5
+    for k in range(11):
+        off = k - 5
+        assert out[k][2, 3] == pytest.approx(0.4 * off, abs=0.15), off

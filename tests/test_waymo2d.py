@@ -192,3 +192,62 @@ def test_gather_mask_points_uses_uv_and_camera_id():
     ])
     pts = waymo2d.gather_mask_points(mask, 2, lidar)   # slot 2 = cam id 1
     np.testing.assert_allclose(pts, [[1.0, 2.0, 3.0]])
+
+
+def test_stitch_frame_none_homography_keeps_fixed_slot():
+    """A pair whose sequence-wide homography is None (under 4 matches in
+    every frame) still stitches: the canvas holds only the pasted fixed
+    camera instead of crashing in warpPerspective."""
+    rng = np.random.default_rng(5)
+    imgs = [rng.uniform(0, 255, ((LAYOUT.side_h if s in (0, 4)
+                                  else LAYOUT.cam_h), LAYOUT.cam_w, 3))
+            for s in range(5)]
+    homos = _true_homos()
+    homos[0] = None
+    canvases = waymo2d.stitch_frame(imgs, homos, LAYOUT)
+    assert len(canvases) == 4
+    ys, xs = LAYOUT.paste_slice(True)
+    np.testing.assert_allclose(canvases[0][ys, xs],
+                               waymo2d.pad_side_image(imgs[1], LAYOUT))
+    # everything outside the fixed slot is empty (nothing was warped)
+    outside = canvases[0].copy()
+    outside[ys, xs] = 0
+    assert outside.sum() == 0
+    # unwarping a mask against the None pair yields only the fixed mask
+    mask = np.zeros(LAYOUT.canvas_hw, bool)
+    mask[ys.start + 3:ys.start + 8, xs.start + 4:xs.start + 9] = True
+    m, slot = waymo2d.pano_mask_to_camera(mask, 0, homos, LAYOUT)
+    assert slot == 1 and m.sum() == 25
+
+
+def test_tracks_from_2d_unions_points_from_both_cameras():
+    """Seam-straddling masks gather lidar from BOTH cameras of the pair
+    (extract_lidar_features unions in-mask points, filtering.py:164-280),
+    not just the larger-mask camera."""
+    homos = _true_homos()
+    ys, xs = LAYOUT.paste_slice(True)
+    # pair-1 canvas mask with a large part in the FIXED front slot and a
+    # smaller part in the warped front-left region
+    mask = np.zeros(LAYOUT.canvas_hw, bool)
+    mask[ys.start + 10:ys.start + 30, xs.start + 10:xs.start + 30] = True
+    tx, ty = int(homos[1][0, 2]), int(homos[1][1, 2])
+    mask[ty + 10:ty + 20, tx + 10:tx + 20] = True     # warped region (100px)
+
+    # one lidar point lands in each camera's mask
+    # slots: front=2 -> cam id 1; front-left=1 -> cam id 2
+    fused = np.array([
+        [1.0, 0.0, 5.0, 1, 15, 15],    # front cam, inside fixed mask
+        [1.2, 0.0, 5.2, 2, 15, 15],    # front-left cam, inside warped mask
+        [9.0, 9.0, 9.0, 1, 100, 70],   # front cam, outside mask
+    ])
+    fused = np.repeat(fused, 6, axis=0)   # clear min_points=10 when unioned
+    cars = [[(0, 1, 0)]]
+    det_masks = [[[], [mask], [], []]]
+    transforms = np.tile(np.eye(4), (1, 1, 1))
+    tracks = waymo2d.tracks_from_2d(
+        cars, det_masks, [fused], homos, transforms, ref_frame=0,
+        window=[0], layout=LAYOUT, min_points=10)
+    assert len(tracks) == 1
+    # 12 points total: 6 from each camera — single-camera gathering would
+    # have found only 6 (front) and the other camera's 6 would be lost
+    assert len(tracks[0].points[0]) == 12
