@@ -186,6 +186,18 @@ class KittiObjectDriver:
         elif self.flags.generate_raw_lidar:
             for fid in ids:
                 n_done += self._lidar_frame(fid)
+        elif self.flags.generate_raw_masks_or_tracking:
+            from monosowa_tpu.sowa import zoo
+            backend = zoo.mask_backend(self.cfg)
+            if backend is None:
+                raise NotImplementedError(
+                    "action 'mask_tracking' on frame datasets needs a live "
+                    "instance-segmentation backend: set backends.mask "
+                    "(e.g. mask2former + mask_checkpoint) in the config, "
+                    "or precompute masks_raw/ artifacts")
+            refine = zoo.sam_refine_backend(self.cfg)
+            for fid in ids:
+                n_done += self._masks_frame(fid, backend, refine)
         else:
             raise NotImplementedError(
                 f"action {self.flags.action!r} requires the external "
@@ -293,23 +305,57 @@ class KittiObjectDriver:
                                                      after)
         return window, get_points, get_masks, transforms
 
+    def _depth_backend(self):
+        """Configured depth source, cached per driver (live backends hold a
+        jitted forward — one instance per run, not per frame)."""
+        if not hasattr(self, "_depth_backend_cache"):
+            from monosowa_tpu.sowa import zoo
+            self._depth_backend_cache = zoo.depth_backend(
+                self.cfg, os.path.join(self.cache, "depth_maps"))
+        return self._depth_backend_cache
+
     def _lidar_frame(self, fid: str) -> int:
         """`--action lidar_scans`: depth map -> pseudo-lidar cache
-        (metric3d.py:39-279).  Cached-depth mode reads
-        <merged_frames_path>/depth_maps/<fid>.npz; a live Metric3D backend
-        plugs in via sowa.depth.TorchHubMetric3DBackend."""
+        (metric3d.py:39-279).  ``backends.depth`` selects the source:
+        cached reads <merged_frames_path>/depth_maps/<fid>.npz; the live
+        modes (metric3d_hub / depth_anything, zoo.depth_backend) run on the
+        frame's image with its calib fx."""
         out = os.path.join(self.pcd_dir, f"{fid}.npz")
         if os.path.exists(out):
             return 0
-        depth_dir = os.path.join(self.cache, "depth_maps")
-        backend = depth_mod.CachedDepthBackend(depth_dir)
-        dmap = backend.predict_depth_for(fid)
+        backend = self._depth_backend()
+        calib = self._calib(fid)
+        if hasattr(backend, "predict_depth_for"):
+            dmap = backend.predict_depth_for(fid)
+        else:
+            img = self._image(fid)
+            if img is None:
+                return 0
+            # canonical contract: metric = canonical * fx / 1000, with fx
+            # from this frame's calib (metric3d.py:327-333); fx only
+            # scales the host-side output, never the jitted forward
+            backend.fx = float(calib.P2[0, 0])
+            dmap = backend.predict_depth(img)
         if dmap is None:
             return 0
-        calib = self._calib(fid)
         pts = depth_mod.pseudo_lidar_from_depth(dmap, calib.P2)
         os.makedirs(self.pcd_dir, exist_ok=True)
         np.savez_compressed(out, points=pts)
+        return 1
+
+    def _masks_frame(self, fid: str, backend, refine) -> int:
+        """`--action mask_tracking` for frame datasets: live instance
+        segmentation -> masks_raw cache (precompute_detectron_kitti,
+        loader.py:1703-1790; SAM refinement loader.py:1727-1739)."""
+        if masks_mod.load_masks(self.masks_dir, fid) is not None:
+            return 0
+        img = self._image(fid)
+        if img is None:
+            return 0
+        masks, scores = backend.predict_masks_scores(img)
+        if refine is not None:
+            masks = masks_mod.refine_masks(masks, scores, img, refine)
+        masks_mod.save_masks(self.masks_dir, fid, masks, img.shape[:2])
         return 1
 
     def _candidates_frame(self, fid: str) -> int:
@@ -463,6 +509,15 @@ class KittiObjectDriver:
                 return im.size[1], im.size[0]
         return (375, 1242)
 
+    def _image(self, fid: str) -> Optional[np.ndarray]:
+        """(H, W, 3) uint8 RGB frame image, or None when absent."""
+        from PIL import Image
+        p = os.path.join(self.kitti_path, "training", "image_2", f"{fid}.png")
+        if not os.path.exists(p):
+            return None
+        with Image.open(p) as im:
+            return np.asarray(im.convert("RGB"))
+
 
 class WaymoSegmentDriver:
     """Drives raw multi-camera Waymo segments through the 2D-tracker
@@ -594,7 +649,9 @@ class WaymoSegmentDriver:
             os.path.join(self.cache, "masks_raw", seg), f"{i:06d}_{z}")
         if cached is not None:
             return cached
-        backend = mask_backend(self.cfg)
+        if not hasattr(self, "_mask_backend_cache"):
+            self._mask_backend_cache = mask_backend(self.cfg)
+        backend = self._mask_backend_cache
         if backend is None:
             return []
         return backend.predict_masks(canvas)
@@ -615,8 +672,10 @@ class WaymoSegmentDriver:
             stitched.append(canvases)
             det_masks.append([self._pair_masks(seg, i, z, canvases[z])
                               for z in range(4)])
-        cars = self.w2d.track_pair_sequence(stitched, det_masks, homos,
-                                            layout)
+        from monosowa_tpu.sowa import zoo
+        cars = self.w2d.track_pair_sequence(
+            stitched, det_masks, homos, layout,
+            tracker_factory=zoo.tracker_factory(self.cfg))
         obs_arr = np.empty(len(cars), object)   # ragged-safe object array
         for ci, o in enumerate(cars):
             obs_arr[ci] = np.asarray(o, int)
@@ -713,16 +772,17 @@ class WaymoSegmentDriver:
 
 def stitching_matcher_backend(cfg: Config):
     """Matcher for homography estimation: ORB by default (checkpoint-free);
-    a LoFTR checkpoint path in the config plugs in the TPU-served
-    EfficientLoFTR (models/efficientloftr.py)."""
-    from monosowa_tpu.sowa import stitching as stitch_mod
-    return stitch_mod.OrbMatcherBackend()
+    ``backends.matcher: loftr`` + ``matcher_checkpoint`` plugs in the
+    TPU-served EfficientLoFTR (zoo.matcher_backend)."""
+    from monosowa_tpu.sowa import zoo
+    return zoo.matcher_backend(cfg)
 
 
 def mask_backend(cfg: Config):
-    """Live instance-segmentation backend, when configured; None means
-    cached-artifact mode only (masks_raw/)."""
-    return None
+    """Live instance-segmentation backend per ``backends.mask``
+    (zoo.mask_backend); None means cached-artifact mode only (masks_raw/)."""
+    from monosowa_tpu.sowa import zoo
+    return zoo.mask_backend(cfg)
 
 
 def main(argv: Optional[List[str]] = None) -> int:
