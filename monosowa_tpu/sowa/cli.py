@@ -84,6 +84,7 @@ def pipeline_config_from(cfg: Config) -> PipelineConfig:
         use_pseudo_lidar=bool(fc.get("use_pseudo_lidar", True)),
         use_clever_aggregation=bool(fc.get("use_clever_aggregation", True)),
         use_robust_optimization=bool(opt.get("robust_optimization", False)),
+        extract_pedestrians=bool(fc.get("extract_pedestrians", False)),
     )
 
 
@@ -346,13 +347,24 @@ class KittiObjectDriver:
     def _masks_frame(self, fid: str, backend, refine) -> int:
         """`--action mask_tracking` for frame datasets: live instance
         segmentation -> masks_raw cache (precompute_detectron_kitti,
-        loader.py:1703-1790; SAM refinement loader.py:1727-1739)."""
+        loader.py:1703-1790; SAM refinement loader.py:1727-1739).  With
+        extract_pedestrians, person-class masks land in the pedestrians/
+        cache (output.py:141-143) from the SAME forward pass."""
         if masks_mod.load_masks(self.masks_dir, fid) is not None:
             return 0
         img = self._image(fid)
         if img is None:
             return 0
-        masks, scores = backend.predict_masks_scores(img)
+        if self.pcfg.extract_pedestrians and hasattr(backend,
+                                                     "predict_masks_multi"):
+            person_ids = tuple((self.cfg.backends or Config({}))
+                               .get("mask_person_labels", (0,)))
+            (masks, scores), (ped_masks, _) = backend.predict_masks_multi(
+                img, [backend.car_label_ids, person_ids])
+            masks_mod.save_masks(os.path.join(self.cache, "pedestrians"),
+                                 fid, ped_masks, img.shape[:2])
+        else:
+            masks, scores = backend.predict_masks_scores(img)
         if refine is not None:
             masks = masks_mod.refine_masks(masks, scores, img, refine)
         masks_mod.save_masks(self.masks_dir, fid, masks, img.shape[:2])
@@ -425,6 +437,13 @@ class KittiObjectDriver:
             before, after = self.pcfg.nscans_before, self.pcfg.nscans_after
             window = list(range(-before, after + 1))
             cars = labeler.label_from_cars(tracks, points, ref_masks, window)
+            if self.pcfg.extract_pedestrians:
+                _, get_points, _, _ = self._window_accessors(fid)
+                cars = cars + labeler.pedestrian_labels(
+                    window, get_points, self._calib(fid).P2,
+                    self._image_hw(fid),
+                    masks_mod.load_masks(
+                        os.path.join(self.cache, "pedestrians"), fid))
             os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
             write_pseudo_label_file(out, cars)
             return 1
@@ -439,6 +458,11 @@ class KittiObjectDriver:
                    window_frames=window, get_points=get_points,
                    get_masks=get_masks, transforms=transforms,
                    p2=calib.P2, img_hw=img_hw)
+        if self.pcfg.extract_pedestrians:
+            # person-class masks from the pedestrians/ cache
+            # (prepare_dirs taxonomy, output.py:141-143)
+            job["ped_masks"] = masks_mod.load_masks(
+                os.path.join(self.cache, "pedestrians"), fid)
         # global window-frame ids: overlapping windows (and consecutive
         # stream groups) then share each frame's candidate extraction
         try:
@@ -497,8 +521,12 @@ class KittiObjectDriver:
             return masks_mod.load_masks(self.masks_dir, name)
 
         img_hw = self._image_hw(fid)
+        ped_masks = (masks_mod.load_masks(
+            os.path.join(self.cache, "pedestrians"), fid)
+            if self.pcfg.extract_pedestrians else None)
         labeler.label_and_write(out, window, before, get_points, get_masks,
-                                transforms, calib.P2, img_hw)
+                                transforms, calib.P2, img_hw,
+                                ped_masks=ped_masks)
         return 1
 
     def _image_hw(self, fid: str):

@@ -81,7 +81,12 @@ class FlaxMask2FormerBackend:
         return (img - np.asarray(self.IMAGENET01_MEAN, np.float32)) \
             / np.asarray(self.IMAGENET01_STD, np.float32)
 
-    def predict_masks_scores(self, image: np.ndarray):
+    def predict_masks_multi(self, image: np.ndarray, label_groups):
+        """ONE forward, several class filters: for each label-id group
+        return (masks, scores) of the queries whose max class probability
+        over the group clears the threshold.  Used for the car classes and
+        (extract_pedestrians) the person class without a second inference
+        pass."""
         import cv2
         import jax.nn
         import jax.numpy as jnp
@@ -91,18 +96,24 @@ class FlaxMask2FormerBackend:
         classes, masks = self._fwd(jnp.asarray(x))
         probs = np.asarray(jax.nn.softmax(classes[0].astype(jnp.float32),
                                           -1))[:, :-1]   # drop null class
-        car_prob = probs[:, list(self.car_label_ids)].max(-1)
-        keep = np.flatnonzero(car_prob > self.score_threshold)
         mask_logits = np.asarray(masks[0])
-        out_masks, out_scores = [], []
-        for q in keep:
-            m = cv2.resize(mask_logits[q], (w, h),
-                           interpolation=cv2.INTER_LINEAR)
-            m = m > 0.0  # sigmoid(x) > 0.5 <=> x > 0
-            if m.any():
-                out_masks.append(m)
-                out_scores.append(float(car_prob[q]))
-        return out_masks, out_scores
+        out = []
+        for ids in label_groups:
+            prob = probs[:, list(ids)].max(-1)
+            keep = np.flatnonzero(prob > self.score_threshold)
+            g_masks, g_scores = [], []
+            for q in keep:
+                m = cv2.resize(mask_logits[q], (w, h),
+                               interpolation=cv2.INTER_LINEAR)
+                m = m > 0.0  # sigmoid(x) > 0.5 <=> x > 0
+                if m.any():
+                    g_masks.append(m)
+                    g_scores.append(float(prob[q]))
+            out.append((g_masks, g_scores))
+        return out
+
+    def predict_masks_scores(self, image: np.ndarray):
+        return self.predict_masks_multi(image, [self.car_label_ids])[0]
 
     def predict_masks(self, image: np.ndarray) -> List[np.ndarray]:
         return self.predict_masks_scores(image)[0]

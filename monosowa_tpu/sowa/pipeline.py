@@ -26,6 +26,7 @@ import numpy as np
 from monosowa_tpu.kittiio.labels import write_pseudo_label_file
 from monosowa_tpu.ops import box3d, tfl
 from monosowa_tpu.sowa import aggregation, candidates, lomm
+from monosowa_tpu.sowa import pedestrians as pedestrians_mod
 from monosowa_tpu.sowa.fitting import (CarBatch, FitConfig, fit_cars_conv,
                                        make_conv_kernels)
 from monosowa_tpu.sowa.templates import TemplateBank
@@ -63,6 +64,11 @@ class PipelineConfig:
     # frames_creation.use_clever_aggregation: keep-k-closest frame
     # selection (True, shipped default) vs concat-every-observation
     use_clever_aggregation: bool = True
+    # frames_creation.extract_pedestrians (output.py:141): person-class
+    # masks -> Pedestrian label rows (sowa/pedestrians.py)
+    extract_pedestrians: bool = False
+    pedestrian: "pedestrians_mod.PedestrianConfig" = dataclasses.field(
+        default_factory=lambda: pedestrians_mod.PedestrianConfig())
     # device-resident window aggregation (sowa/bank.py): when jobs supply
     # per-frame depth maps, keep every candidate's points ON DEVICE as a
     # compacted bank and fit straight from it — the host only tracks
@@ -143,10 +149,12 @@ class PseudoLabeler:
                     get_points: Callable[[int], Optional[np.ndarray]],
                     get_masks: Callable[[int], Optional[list]],
                     transforms: np.ndarray, p2: np.ndarray,
-                    img_hw) -> List[dict]:
+                    img_hw, ped_masks: Optional[list] = None) -> List[dict]:
         """window_frames: window-relative offsets (0 = reference);
         get_points/get_masks take the window index; transforms: (W, 4, 4)
-        T_cur_to_ref.  Returns car dicts ready for the label writer."""
+        T_cur_to_ref.  Returns car dicts ready for the label writer;
+        ``ped_masks`` (person-class reference-frame masks) append
+        Pedestrian rows when extract_pedestrians is on."""
         cfg = self.cfg
 
         # the real-LiDAR scale branch re-gathers from the live scans
@@ -177,13 +185,31 @@ class PseudoLabeler:
             ref_scan=self._ref_scan(window_frames, get_points),
             strict_hidden=cfg.strict_hidden_standing,
             clever=cfg.use_clever_aggregation)
+        peds = self.pedestrian_labels(window_frames, get_points, p2, img_hw,
+                                      ped_masks)
         if not kept:
-            return []
+            return peds
 
         return self.label_from_cars(
             kept, points, ref_masks, window_frames,
             scale_scan_source=((window_scans, transforms)
-                               if keep_scans else None))
+                               if keep_scans else None)) + peds
+
+    def pedestrian_labels(self, window_frames, get_points, p2, img_hw,
+                          ped_masks) -> List[dict]:
+        """Pedestrian rows from the reference frame's points + person masks
+        (extract_pedestrians branch, sowa/pedestrians.py)."""
+        if not self.cfg.extract_pedestrians or not ped_masks:
+            return []
+        try:
+            k = list(window_frames).index(0)
+        except ValueError:
+            return []
+        pts = get_points(k)
+        if pts is None:
+            return []
+        return pedestrians_mod.extract_pedestrian_labels(
+            pts, p2, img_hw, ped_masks, self.cfg.pedestrian)
 
     def _ref_scan(self, window_frames, get_points):
         """The reference frame's cam-frame scan, only when the real-lidar
@@ -897,7 +923,11 @@ class PseudoLabeler:
                                     item["job"]["transforms"])
                                    if item.get("scans") is not None
                                    else None))
-            out_path = item["job"]["out_path"]
+            job = item["job"]
+            cars = cars + self.pedestrian_labels(
+                item["window"], job["get_points"], job["p2"],
+                job["img_hw"], job.get("ped_masks"))
+            out_path = job["out_path"]
             os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
             write_pseudo_label_file(out_path, cars)
             self._save_cars_cache(out_path, cars)
