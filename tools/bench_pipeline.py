@@ -84,21 +84,28 @@ def make_sequence(n_frames=8, window=6, seed=0):
     return frames, window
 
 
-def run(n_frames=8, do_profile=False, quiet=False, iters=3):
+def run(n_frames=8, do_profile=False, quiet=False, iters=3, window=6,
+        streams=1, max_points=2048):
     """Times a pipelined label_frames_stream over ``iters * n_frames``
     CONSECUTIVE full-size frames (group size n_frames) — the production
     driver shape, windows naturally shared between neighbouring groups.
-    Returns steady-state frames/s."""
+
+    ``window``: half-window in frames (reference nscans_before/after —
+    production config is 30 for the ±30 = 61-frame aggregation,
+    config.yaml:31-32; 6 reproduces the earlier 13-frame scene).
+    ``streams``: measured passes after the warmup stream; the returned
+    list holds one steady-state frames/s per pass (spread for the bench
+    JSON).  Returns (fps_list, n_frames_per_stream)."""
     from monosowa_tpu.utils.jaxcache import enable_persistent_cache
     enable_persistent_cache("/tmp/jax_cache")
     from monosowa_tpu.sowa import pipeline
     from monosowa_tpu.sowa.fitting import FitConfig
 
     total_frames = n_frames * iters
-    frames, window = make_sequence(total_frames)
+    frames, _ = make_sequence(total_frames, window=window)
     cfg = pipeline.PipelineConfig(
         nscans_before=window, nscans_after=window, max_cars=16,
-        max_points=2048, min_standing_points=400,
+        max_points=max_points, min_standing_points=400,
         fit=FitConfig(fine_chunk=60))
     labeler = pipeline.PseudoLabeler(cfg)
 
@@ -132,8 +139,8 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3):
     t0 = time.perf_counter()
     labeler.label_frames_stream(jobs("warm"), group_size=n_frames)
     if not quiet:
-        print(f"# warmup stream ({total_frames} frames, compiles): "
-              f"{time.perf_counter() - t0:.1f}s")
+        print(f"# warmup stream ({total_frames} frames, window "
+              f"+-{window}, compiles): {time.perf_counter() - t0:.1f}s")
 
     if do_profile:
         pr = cProfile.Profile()
@@ -142,22 +149,27 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3):
     # consecutive frames in n_frames-sized groups (cli.py labels a
     # sequence the same way) — group k+1's extraction overlaps group k's
     # fit pull, and overlapping windows share cached extractions
-    t0 = time.perf_counter()
-    n = labeler.label_frames_stream(jobs("run"), group_size=n_frames)
-    dt = time.perf_counter() - t0
+    fps = []
+    for s in range(streams):
+        t0 = time.perf_counter()
+        n = labeler.label_frames_stream(jobs(f"run{s}"),
+                                        group_size=n_frames)
+        dt = time.perf_counter() - t0
+        fps.append(n / dt)
+        if not quiet:
+            print(f"label_frames_stream[{s}]: {n} frames in {dt:.2f}s "
+                  f"= {n / dt:.2f} frames/s")
     if do_profile:
         pr.disable()
         pstats.Stats(pr).sort_stats("cumulative").print_stats(25)
-    if not quiet:
-        print(f"label_frames_stream: {n} frames in {dt:.2f}s "
-              f"= {n / dt:.2f} frames/s")
-    return n / dt
+    return fps, total_frames
 
 
 def main():
     pos = [a for a in sys.argv[1:] if not a.startswith("-")]
     n_frames = int(pos[0]) if pos else 8
-    run(n_frames, do_profile="--profile" in sys.argv)
+    window = int(pos[1]) if len(pos) > 1 else 6
+    run(n_frames, do_profile="--profile" in sys.argv, window=window)
 
 
 if __name__ == "__main__":
