@@ -1,6 +1,6 @@
 # Top-level orchestration: native kernels, tests, benchmark.
 
-.PHONY: all native test test-fast bench clean
+.PHONY: all native test test-all test-fast bench clean
 
 all: native
 
@@ -9,6 +9,11 @@ native:
 
 test: native
 	python -m pytest tests/ -q
+
+# full gate incl. the slow opt-in tier (production-scale fit accuracy,
+# bf16 learning, whole-model gradient flow)
+test-all: native
+	RUN_SLOW=1 python -m pytest tests/ -q
 
 test-fast: native
 	python -m pytest tests/ -q \

@@ -44,3 +44,29 @@ enable_persistent_cache(
 # NOTE: do not enable jax_persistent_cache_enable_xla_caches="all" —
 # shared XLA:CPU AOT kernel entries abort (SIGABRT) when the recorded
 # machine features disagree with the loading process
+
+
+# ---------------------------------------------------------------------------
+# `slow` marker: the heaviest tests (production-scale fit accuracy,
+# whole-model bf16 learning, full-model gradient flow) are opt-in so the
+# default suite stays a fast gate.  Run them with RUN_SLOW=1 (the round's
+# final full run does) or `-m slow`.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavyweight test, opt-in via RUN_SLOW=1 or -m slow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("RUN_SLOW") == "1":
+        return
+    if config.getoption("-m", default=""):
+        return      # explicit -m selection overrides the default skip
+    skip = pytest.mark.skip(reason="slow; opt in with RUN_SLOW=1 or -m slow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)

@@ -137,6 +137,7 @@ def test_stream_matches_per_group(tmp_path):
         assert a == b, fi
 
 
+@pytest.mark.slow
 def test_fused_refit_overflow_falls_back(tmp_path):
     """Two merge targets with refit_cap=1: the second target re-fits via
     the host fallback and the labels still match the cap=0 path."""

@@ -11,6 +11,7 @@ from monosowa_tpu.models.monodetr import MonoDETR
 B, H, W, M = 2, 96, 160, 4
 
 
+@pytest.mark.slow
 def test_forward_with_dn_queries():
     model = MonoDETR(enc_layers=1, dec_layers=2, group_num=2, d_model=64,
                      d_ffn=64, nheads=4, num_queries=10, num_depth_bins=16)

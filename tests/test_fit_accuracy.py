@@ -104,6 +104,7 @@ def _planted_batch(rng, n_cars, S, moving_flags, theta_valid_flags,
     return batch, np.asarray(gt), tmpl
 
 
+@pytest.mark.slow
 def test_fit_accuracy_production_scale():
     """Quality gate at PRODUCTION point counts: 10k-point cars (the
     reference's per-car cap, loader.py:188-192; the pipeline's default

@@ -85,7 +85,13 @@ def test_mask2former_bf16_forward_stays_bf16():
     doubled serving bandwidth before it was pinned here."""
     import jax
 
-    hf_cfg = _tiny_m2f()
+    # dtype-propagation only — an even smaller net than the parity tests'
+    # (the property is per-layer; depth adds nothing but compile time)
+    hf_cfg = transformers.Mask2FormerConfig(
+        backbone_config=_tiny_swin(), feature_size=32, mask_feature_size=32,
+        hidden_dim=32, encoder_layers=1, decoder_layers=2,
+        num_attention_heads=2, encoder_feedforward_dim=32,
+        dim_feedforward=32, num_queries=5, num_labels=5)
     torch.manual_seed(0)
     tm = transformers.Mask2FormerForUniversalSegmentation(hf_cfg).eval()
     cfg = m2f.config_from_hf_mask2former(hf_cfg)

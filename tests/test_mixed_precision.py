@@ -12,6 +12,7 @@ value path).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 
 def _tiny(dtype):
@@ -50,6 +51,7 @@ def test_bf16_forward_matches_f32():
             assert np.max(err) < 0.15, (k, np.max(err))
 
 
+@pytest.mark.slow
 def test_bf16_train_step_learns():
     import __graft_entry__
     from monosowa_tpu.train.optim import make_optimizer

@@ -57,6 +57,7 @@ def test_train_forward_uses_query_groups(model_and_vars):
     assert out["pred_logits"].shape == (B, model.num_queries * model.group_num, 3)
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_backbone(model_and_vars):
     model, variables = model_and_vars
     images, calibs, img_sizes = _inputs()

@@ -58,6 +58,7 @@ def test_model_learned_pos_embedding_runs():
     assert np.isfinite(np.asarray(out["pred_logits"])).all()
 
 
+@pytest.mark.slow
 def test_model_use_dab_runs():
     """DAB anchor queries: 6-dof refpoint embeddings + per-layer query_pos
     derived from the current anchors (depthaware_transformer.py:255-259,

@@ -265,6 +265,7 @@ def _run_case(scene, tmp_path, label):
     return ref_rows
 
 
+@pytest.mark.slow
 def test_standing_cars_with_nms_merge(tmp_path):
     scene = build_scene(ref_frame=10, cars=[
         dict(x=-3.0, y=0.9, z=13.0, theta=0.4),

@@ -6,6 +6,7 @@ import jax
 import pytest
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8(monkeypatch):
     # run via the SPAWN path (a fresh interpreter, exactly how the driver
     # invokes it) at the tiny preset — the production XLA-CPU compile

@@ -105,6 +105,7 @@ def test_train_val_evaluate_only(kitti_root, tmp_path, capsys):
     train_val.main(["--config", str(cfg_path), "--evaluate_only"])
 
 
+@pytest.mark.slow
 def test_tester_all_checkpoints_sweep(kitti_root, tmp_path, capsys):
     """tester.mode 'all' (tester_helper.py:28-78): the best checkpoint is
     evaluated first, then every epoch checkpoint in epoch order."""

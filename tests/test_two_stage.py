@@ -1,6 +1,7 @@
 """Two-stage (encoder-proposal) branch: forward shapes + enc outputs."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -76,6 +77,7 @@ def test_two_stage_criterion():
     assert np.isfinite(float(losses["loss_total"]))
 
 
+@pytest.mark.slow
 def test_two_stage_with_dn():
     from monosowa_tpu.models import dn_components as dn
     model = MonoDETR(enc_layers=1, dec_layers=2, group_num=2, d_model=64,
