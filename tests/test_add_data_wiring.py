@@ -235,6 +235,7 @@ def test_add_data_loss_drops_near_cars():
 # train step: aux terms present and finite with the flags on
 # ---------------------------------------------------------------------------
 
+@pytest.mark.slow
 def test_train_step_with_add_data():
     from monosowa_tpu.models.matcher import MatcherConfig
     from monosowa_tpu.models.monodetr import MonoDETR

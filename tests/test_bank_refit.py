@@ -99,6 +99,7 @@ def test_fused_refit_matches_host_merge(tmp_path):
         _assert_same(a, b)
 
 
+@pytest.mark.slow
 def test_stream_matches_per_group(tmp_path):
     """label_frames_stream (2-deep pipelined groups) must write byte-
     identical labels to sequential per-group label_frames calls."""

@@ -287,6 +287,7 @@ def test_moving_car(tmp_path):
     assert len(rows) == 2
 
 
+@pytest.mark.slow
 def test_truncated_window_and_edge_mask(tmp_path):
     # reference frame near the sequence start: window frames -6..-3 missing;
     # one car projects onto the left image edge (truncated-mask penalty in

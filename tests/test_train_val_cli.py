@@ -44,6 +44,7 @@ def kitti_root(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_train_val_main_one_epoch(kitti_root, tmp_path):
     from tools import train_val
 
