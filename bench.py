@@ -157,7 +157,12 @@ def bench_e2e():
     # frames
     n_frames = int(os.environ.get("BENCH_E2E_FRAMES", "8"))
     window = int(os.environ.get("BENCH_E2E_WINDOW", "30"))
-    iters = int(os.environ.get("BENCH_E2E_ITERS", "2"))
+    # 12 groups x 8 labeled frames per stream: the 2*window edge frames
+    # are extracted once per stream, so short streams overstate the edge
+    # cost a production sequence (thousands of frames) amortizes away —
+    # 96 labeled vs 60 edge frames keeps the measured extraction rate
+    # within 1.6x of true steady state (still conservative)
+    iters = int(os.environ.get("BENCH_E2E_ITERS", "12"))
     streams = int(os.environ.get("BENCH_E2E_STREAMS", "2"))
     fps, _ = bench_pipeline.run(n_frames=n_frames, quiet=False,
                                 window=window, iters=iters,

@@ -32,14 +32,20 @@ def make_sequence(n_frames=8, window=6, seed=0):
     rng = np.random.default_rng(seed)
     bank = TemplateBank.default()
 
-    # static cars scattered over the road, ego drives +z at 0.8 m/frame
-    cars = []
-    for i in range(N_CARS):
-        cars.append(dict(
-            x=rng.uniform(-8, 8), y=1.1, z=rng.uniform(8, 45),
-            theta=rng.uniform(0, 2 * np.pi)))
-
     total = n_frames + 2 * window
+    # static cars at CONSTANT density along the whole driven corridor
+    # (ego drives +z at 0.8 m/frame): ~N_CARS visible per frame in the
+    # 4-70 m band regardless of sequence length — a z in [8, 45] cluster
+    # empties once the ego passes it, which silently deflated long-stream
+    # per-frame fit work
+    spacing = 66.0 / max(N_CARS, 1)
+    road_end = total * 0.8 + 74.0
+    cars = []
+    for z0 in np.arange(8.0, road_end, spacing):
+        cars.append(dict(
+            x=rng.uniform(-8, 8), y=1.1,
+            z=float(z0) + rng.uniform(-0.4 * spacing, 0.4 * spacing),
+            theta=rng.uniform(0, 2 * np.pi)))
     frames = []
     ys, xs = np.mgrid[0:H, 0:W]
     for k in range(total):
@@ -112,7 +118,12 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3, window=6,
     tmp = tempfile.mkdtemp()
     offsets = list(range(-window, window + 1))
 
-    def jobs(tag, lo=0, hi=None):
+    def jobs(tag, off=0.0, lo=0, hi=None):
+        # ``off``: tiny per-stream depth offset (sub-mm) so repeated
+        # streams are NOT bitwise-identical dispatches — the remote
+        # execution service caches results for identical program+input
+        # pairs, which fakes near-zero stream times (same defeat as
+        # bench.py's per-iteration fit jitter)
         out = []
         for fi in range(window + lo, window + (hi if hi is not None
                                                else total_frames)):
@@ -125,9 +136,13 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3, window=6,
             out.append(dict(
                 out_path=os.path.join(tmp, f"{tag}_{fi:06d}.txt"),
                 window_frames=offsets,
-                frame_ids=[fi - window + k for k in range(len(offsets))],
-                get_points=(lambda k, fi=fi: frames[fi - window + k]["points"]),
-                get_depth=(lambda k, fi=fi: frames[fi - window + k]["depth"]),
+                frame_ids=[(tag, fi - window + k)
+                           for k in range(len(offsets))],
+                get_points=(lambda k, fi=fi:
+                            frames[fi - window + k]["points"]),
+                get_depth=(lambda k, fi=fi, off=off:
+                           frames[fi - window + k]["depth"] + off
+                           if off else frames[fi - window + k]["depth"]),
                 get_masks=(lambda k, fi=fi: frames[fi - window + k]["masks"]),
                 transforms=np.stack(transforms), p2=P2, img_hw=(H, W)))
         return out
@@ -152,7 +167,7 @@ def run(n_frames=8, do_profile=False, quiet=False, iters=3, window=6,
     fps = []
     for s in range(streams):
         t0 = time.perf_counter()
-        n = labeler.label_frames_stream(jobs(f"run{s}"),
+        n = labeler.label_frames_stream(jobs(f"run{s}", off=(s + 1) * 1e-3),
                                         group_size=n_frames)
         dt = time.perf_counter() - t0
         fps.append(n / dt)
