@@ -309,7 +309,12 @@ def _run_child(name: str, deadline: float, reserve_later: float,
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 capture_output=True, text=True, timeout=timeout_s, env=env)
-        except subprocess.TimeoutExpired:
+        except subprocess.TimeoutExpired as te:
+            for stream in (te.stderr, te.stdout):
+                if stream:
+                    txt = stream if isinstance(stream, str) else \
+                        stream.decode(errors="replace")
+                    sys.stderr.write(txt[-1500:])
             print(f"# bench {name} attempt {attempt}: timeout "
                   f"({timeout_s:.0f}s)", file=sys.stderr, flush=True)
             # a timeout here means the child was killed mid-compile; a
@@ -356,18 +361,32 @@ def main():
 
     platform = _probe_platform()
     print(f"# bench platform: {platform}", file=sys.stderr)
+    # NOTE on train-child hangs (2026-08-21): the tunnel intermittently
+    # enters bad windows lasting tens of minutes in which the BIG train
+    # program (82 MB executable) hangs at compile/load while the smaller
+    # e2e/fit programs still run — a standalone child reproduces it, so
+    # it is the service, not this harness.  The per-child timeout + the
+    # budget governor bound the damage; the warm persistent cache makes a
+    # healthy-window attempt succeed in ~90 s.
 
     # persistent compile cache: end-of-round driver runs (and retries) skip
     # the multi-minute remote compile; machine-keyed (utils/jaxcache.py) so
     # a VM migration can't feed stale XLA:CPU machine code (SIGABRT)
     only = os.environ.get("BENCH_ONLY", "")
     names = [n for n in suite if not only or n == only]
-    # floor reserved per not-yet-run metric so a slow cold compile on one
-    # metric cannot starve the ones after it (each needs ~60-120 s warm)
-    reserve = 150.0
+    # per-metric budget floors reserved for the not-yet-run metrics so a
+    # hung compile on one metric cannot starve the rest (warm costs:
+    # train ~90 s, e2e ~180 s incl. 60 s host scene build, fit ~50 s,
+    # e2e13 ~120 s), and per-metric first-attempt caps so a tunnel
+    # bad-window (train hangs are the observed mode) wastes at most one
+    # bounded attempt
+    reserves = {"train": 150.0, "e2e": 260.0, "fit": 60.0, "e2e13": 200.0}
+    caps = {"train": 420.0, "e2e": 360.0, "fit": 300.0, "e2e13": 300.0}
     failed = []
     for i, name in enumerate(names):
-        if not _run_child(name, deadline, reserve * (len(names) - i - 1)):
+        later = sum(reserves[n] for n in names[i + 1:])
+        if not _run_child(name, deadline, later,
+                          max_first=caps.get(name, 600.0)):
             failed.append(name)
     # second pass over failures with whatever budget remains: a first-pass
     # timeout often SEEDS the remote compile service's own cache, so a
